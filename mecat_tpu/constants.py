@@ -1,0 +1,113 @@
+"""Algorithm constants for the TPU-native MECAT-capability framework.
+
+Provenance: the reference mount (/root/reference, xiaochuanle/MECAT) was EMPTY
+at build time (see SURVEY.md "PROVENANCE NOTICE"), so every constant below that
+governs output equality with the reference C++ binaries is a reconstruction
+from the MECAT paper (Xiao et al., Nat Methods 2017) and memory of the public
+repo.  Each such constant carries a ``TODO(ref)`` marker: once the reference
+tree appears, re-read the true value from its ``defs.h`` / option parsers /
+``dw.cpp`` (SURVEY.md Appendix B) and update here.
+
+Everything is centralised in this module on purpose: no other module may
+hard-code an algorithm constant.
+"""
+
+# ---------------------------------------------------------------------------
+# Base encoding (SURVEY.md §2.5: PackedDB packs A=0, C=1, G=2, T=3, 2 bits)
+# ---------------------------------------------------------------------------
+BASE_A, BASE_C, BASE_G, BASE_T = 0, 1, 2, 3
+N_BASES = 4
+#: code used for non-ACGT input characters before packing.
+#: TODO(ref): verify how the reference maps ambiguity codes (memory: maps to 0/random).
+INVALID_BASE_CODE = 0
+
+# ---------------------------------------------------------------------------
+# K-mer index (SURVEY.md §2 component 1: build_lookup_table)
+# ---------------------------------------------------------------------------
+#: k-mer length. TODO(ref): MECAT default believed 13 (paper).
+KMER_SIZE = 13
+#: query-side k-mer scan stride, bases. TODO(ref): believed ~10 ("block score" scan).
+KMER_SCAN_STRIDE = 10
+#: k-mer frequency cutoff expressed as a multiple of the mean occurrence count;
+#: k-mers more frequent than this are dropped from the index.
+#: TODO(ref): reference uses an absolute cutoff derived from `-k` (default 1000?).
+KMER_FREQ_CUTOFF_MULTIPLE = 128.0
+#: hard cap on occurrences gathered per probed k-mer on device (fixed-shape gather).
+MAX_OCC_PER_KMER = 32
+
+# ---------------------------------------------------------------------------
+# DDF (distance-difference-factor) candidate filter (SURVEY.md §0 idea 1)
+# ---------------------------------------------------------------------------
+#: width (bases) of a diagonal bin: hits whose (qpos - tpos) diagonals fall in
+#: the same bin are treated as mutually consistent and accumulate one block
+#: score. TODO(ref): reference block size believed 1000-2000bp with a relative
+#: DDF threshold; we bin diagonals instead (TPU-friendly segment-sum).
+DDF_DIAG_BIN = 256
+#: number of candidates kept per read. TODO(ref): mecat2pw -n default 100.
+DEFAULT_NUM_CANDIDATES = 100
+#: minimum block score for a (target, diagonal-bin) to become a candidate.
+#: TODO(ref): reference minimum k-mer block score (believed >= 2..4).
+MIN_BLOCK_SCORE = 2
+
+# ---------------------------------------------------------------------------
+# Banded DW / diff aligner (SURVEY.md §3.5)
+# ---------------------------------------------------------------------------
+#: segment length for the segmented wavefront extension.
+#: TODO(ref): dw.cpp segment believed ~500bp.
+ALIGN_SEGMENT = 512
+#: half band width of the banded edit-distance DP (diagonal drift allowance
+#: per segment; the band is re-centred after every segment).
+ALIGN_BAND = 128
+#: stop extending when a segment's identity falls below this.
+#: TODO(ref): error tolerance believed ~0.3 (i.e. min identity ~0.7 per segment).
+MIN_SEGMENT_IDENTITY = 0.65
+#: minimum overall alignment identity (%) to report an overlap.
+#: TODO(ref): mecat2pw filters on identity/size; exact default unknown.
+MIN_OVERLAP_IDENTITY = 70.0
+#: mecat2pw -a: minimum alignment size to report. TODO(ref): believed 2000 (pacbio).
+DEFAULT_MIN_ALIGN_SIZE = 2000
+
+# ---------------------------------------------------------------------------
+# Consensus (mecat2cns; SURVEY.md §3.2)
+# ---------------------------------------------------------------------------
+#: -c minimum coverage to call a consensus base. TODO(ref): believed 4 (pacbio) / 6?
+DEFAULT_MIN_COVERAGE = 4
+#: -l minimum corrected-read (segment) length. TODO(ref): believed 2000 (pacbio)/1000?
+DEFAULT_MIN_CORRECTED_LENGTH = 500
+#: -r minimum mapping ratio of a supporting overlap. TODO(ref): believed 0.6/0.9.
+DEFAULT_MIN_MAPPING_RATIO = 0.6
+#: -a minimum overlap size used by cns. TODO(ref): believed 2000 pacbio / 500 nanopore.
+DEFAULT_CNS_MIN_OVERLAP = 500
+#: cap on supporting reads per template pile (highest-scoring kept).
+#: TODO(ref): MECAT caps effective coverage per template (believed ~coverage cap).
+MAX_SUPPORTS_PER_TEMPLATE = 64
+#: maximum number of inserted bases between two template positions that
+#: consensus voting distinguishes (falcon-sense style (pos, delta) tags).
+MAX_INS_DELTA = 15
+
+# ---------------------------------------------------------------------------
+# Volumes / batching (SURVEY.md §2 split_database, overlaps_partition)
+# ---------------------------------------------------------------------------
+#: maximum bases per volume when splitting a read database.
+#: TODO(ref): reference volume size believed ~2GB packed / 4G bases.
+DEFAULT_VOLUME_BASES = 1 << 28  # 256 Mbases
+#: mecat2cns -p: templates per consensus partition/batch.
+DEFAULT_PARTITION_BATCH = 100_000
+
+# ---------------------------------------------------------------------------
+# Technology presets (mecat2cns -x)
+# ---------------------------------------------------------------------------
+TECH_PACBIO = 0
+TECH_NANOPORE = 1
+
+# ---------------------------------------------------------------------------
+# Device batching (ours, not reference-governed)
+# ---------------------------------------------------------------------------
+#: read-length bucket boundaries for padding (bases).
+LENGTH_BUCKETS = (2048, 4096, 8192, 16384, 32768, 65536, 131072)
+#: default query reads per device batch in the candidate scan.
+DEFAULT_SCAN_BATCH = 256
+#: default (query,target) pairs per device batch in the extension kernel.
+DEFAULT_EXTEND_BATCH = 512
+
+M4_IDENTITY_DECIMALS = 2  # identity printed as %.2f  TODO(ref): verify format string

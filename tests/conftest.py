@@ -1,0 +1,13 @@
+"""Test configuration: run JAX on an 8-device virtual CPU mesh.
+
+Must set env vars before jax is imported anywhere (SURVEY.md §7 step 8 /
+task contract: sharding is tested on a virtual 8-device CPU mesh).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
