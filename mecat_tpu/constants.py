@@ -66,6 +66,10 @@ MIN_SEGMENT_IDENTITY = 0.65
 MIN_OVERLAP_IDENTITY = 70.0
 #: mecat2pw -a: minimum alignment size to report. TODO(ref): believed 2000 (pacbio).
 DEFAULT_MIN_ALIGN_SIZE = 2000
+#: per-error penalty in the local endpoint score (r + j - 2*penalty*dist):
+#: errors score negative so extension endpoints trim garbage tails.
+#: TODO(ref): reference stop-on-degradation constants unknown.
+ALIGN_TRIM_PENALTY = 2
 
 # ---------------------------------------------------------------------------
 # Consensus (mecat2cns; SURVEY.md §3.2)

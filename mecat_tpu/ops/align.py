@@ -1,0 +1,329 @@
+"""Banded edit-distance extension aligner — batched wavefront DP.
+
+Counterpart of the reference's diff/DW gap aligner (SURVEY.md §3.5; reference
+``src/mecat2cns/dw.cpp`` / ``src/common/diff_gapalign.*`` — unverified, mount
+empty).  The reference runs a Myers O(ND) loop per pair per pthread; here the
+same seed-extend contract — extend a candidate seed in both directions in
+~segment-sized steps, re-centering after each segment, stopping when quality
+degrades — is restated as fixed-shape batched DP:
+
+* The DP is a **banded Levenshtein** over band-relative coordinates: at query
+  row ``i`` the band covers target positions ``j ∈ [i-W/2, i+W/2)``, so the
+  band shifts right one column per row and indel drift up to ±W/2 per segment
+  is representable.  Re-centering between segments (the reference's segmented
+  extension) keeps W small even for long noisy reads.
+* Each row update is vectorised across the whole band and the whole batch:
+  diagonal/vertical candidates are shifts, and the horizontal (gap-in-query)
+  closure ``cur[w] = min_{u<=w}(cand[u] + (w-u))`` is an associative prefix
+  scan (``lax.cummin`` of ``cand - w``), eliminating the serial intra-row
+  dependency — this is what makes the kernel a wavefront.
+* Moves are recorded per cell (2 bits of information, stored as uint8 in the
+  JAX reference implementation) and traced back **batched**: one
+  ``fori_loop`` over steps, each step a [B]-wide gather.
+
+Distances/coords are int32; bases are uint8 codes with sentinel padding
+(query pad 0xFF, target pad 0xFE) so padding never matches anything.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+
+INF = jnp.int32(1 << 20)
+Q_SENTINEL = 255
+T_SENTINEL = 254
+
+# move codes
+MOVE_MATCH = 0     # diagonal, q char == t char
+MOVE_MISMATCH = 1  # diagonal, substitution
+MOVE_VERT = 2      # query char vs gap (insertion in query)
+MOVE_HORIZ = 3     # target char vs gap (deletion from target)
+
+
+def banded_dp_segment(q_seg: jnp.ndarray, t_seg: jnp.ndarray,
+                      tmax: jnp.ndarray, W: int):
+    """Banded edit-distance DP of one segment per pair.
+
+    Args:
+      q_seg: uint8 [B, S] query chars (sentinel-padded beyond segment).
+      t_seg: uint8 [B, S + W//2] target window chars (sentinel-padded).
+      tmax: int32 [B] usable target window length (cells with j > tmax are
+        invalid; j == tmax is a legal end state).
+      W: band width (target positions covered at row i: [i-W/2, i+W/2)).
+
+    Returns:
+      rows: int32 [B, S+1, W] DP distances per row (row r = after consuming
+        r query chars).
+      moves: uint8 [B, S, W] move codes for rows 1..S.
+    """
+    B, S = q_seg.shape
+    half = W // 2
+    w_idx = jnp.arange(W, dtype=jnp.int32)
+
+    # tpad[x] = t_seg[x - half]: left sentinel padding so the diagonal gather
+    # for row i is the static-length slice tpad[:, i-1 : i-1+W].
+    tpad = jnp.full((B, S + W), T_SENTINEL, dtype=q_seg.dtype)
+    tpad = tpad.at[:, half:half + t_seg.shape[1]].set(t_seg)
+
+    j0 = w_idx - half  # target position of band cell w at row 0
+    row0 = jnp.where((j0[None, :] >= 0) & (j0[None, :] <= tmax[:, None]),
+                     jnp.maximum(j0, 0)[None, :].astype(jnp.int32), INF)
+
+    def step(prev, i):
+        # i: row index 1..S (i query chars consumed)
+        qc = jax.lax.dynamic_slice_in_dim(q_seg, i - 1, 1, axis=1)  # [B,1]
+        td = jax.lax.dynamic_slice_in_dim(tpad, i - 1, W, axis=1)   # [B,W]
+        sub = jnp.where(qc == td, 0, 1).astype(jnp.int32)
+        diag = prev + sub
+        vert = jnp.concatenate(
+            [prev[:, 1:], jnp.full((B, 1), INF, jnp.int32)], axis=1) + 1
+        cand = jnp.minimum(diag, vert)
+        j = i - half + w_idx  # [W] target position of each band cell
+        valid = (j[None, :] >= 0) & (j[None, :] <= tmax[:, None])
+        cand = jnp.where(valid, cand, INF)
+        # horizontal closure: cur[w] = min_{u<=w} cand[u] + (w-u)
+        cur = jax.lax.cummin(cand - w_idx[None, :], axis=1) + w_idx[None, :]
+        cur = jnp.where(valid, jnp.minimum(cur, INF), INF)
+        # move attribution, priority: match/mismatch > vertical > horizontal
+        move = jnp.full((B, W), MOVE_HORIZ, dtype=jnp.uint8)
+        move = jnp.where(cur == vert, MOVE_VERT, move)
+        move = jnp.where(cur == diag,
+                         jnp.where(sub == 0, MOVE_MATCH, MOVE_MISMATCH),
+                         move)
+        return cur, (cur, move)
+
+    last, (rows, moves) = jax.lax.scan(
+        step, row0, jnp.arange(1, S + 1, dtype=jnp.int32))
+    rows = jnp.concatenate([row0[:, None, :],
+                            jnp.moveaxis(rows, 0, 1)], axis=1)
+    moves = jnp.moveaxis(moves, 0, 1)
+    return rows, moves
+
+
+def pick_end(rows: jnp.ndarray, seg_qlen: jnp.ndarray, tmax: jnp.ndarray,
+             W: int):
+    """Best band cell on the row where the segment's query chars run out.
+
+    Tie-break: minimal distance, then target advance closest to the query
+    advance (stay near the main diagonal).  TODO(ref): reference tie-breaking
+    unknown (mount empty); "modulo tie-breaking" per BASELINE.json.
+    """
+    B = rows.shape[0]
+    half = W // 2
+    w_idx = jnp.arange(W, dtype=jnp.int32)
+    last = jnp.take_along_axis(
+        rows, seg_qlen[:, None, None].astype(jnp.int32), axis=1)[:, 0, :]
+    j = seg_qlen[:, None] - half + w_idx[None, :]
+    valid = (j >= 0) & (j <= tmax[:, None])
+    dist = jnp.where(valid, last, INF)
+    key = dist * (2 * W) + jnp.abs(w_idx[None, :] - half)
+    w_best = jnp.argmin(key, axis=1).astype(jnp.int32)
+    d_best = jnp.take_along_axis(dist, w_best[:, None], axis=1)[:, 0]
+    j_best = seg_qlen - half + w_best
+    return w_best, j_best, d_best
+
+
+def pick_end_local(rows: jnp.ndarray, seg_qlen: jnp.ndarray,
+                   tmax: jnp.ndarray, W: int,
+                   penalty: int = C.ALIGN_TRIM_PENALTY):
+    """Best-scoring cell over the WHOLE segment (local-alignment endpoint).
+
+    Score of cell (r, j) = (r + j) - 2*penalty*D[r][j]: a match column adds
+    +2, a substitution 2-2p, an indel 1-2p — so for p=2 any error is
+    negative and the argmax is the furthest point at which the alignment was
+    still "profitable".  This realises the reference's stop-on-degradation
+    rule (SURVEY.md §3.5: "stop when score degrades") and trims junk tails:
+    if the best cell is not on the final row, quality degraded inside the
+    segment and the caller stops extending.  TODO(ref): reference scoring
+    constants unknown (mount empty).
+    """
+    B, S1, _ = rows.shape
+    half = W // 2
+    w_idx = jnp.arange(W, dtype=jnp.int32)
+    r_idx = jnp.arange(S1, dtype=jnp.int32)
+    j = r_idx[None, :, None] - half + w_idx[None, None, :]   # [1, S+1, W]
+    valid = ((j >= 0) & (j <= tmax[:, None, None])
+             & (r_idx[None, :, None] <= seg_qlen[:, None, None]))
+    score = jnp.where(valid & (rows < INF),
+                      r_idx[None, :, None] + j - 2 * penalty * rows,
+                      jnp.int32(-(1 << 26)))
+    flat = score.reshape(B, S1 * W)
+    best = jnp.argmax(flat, axis=1).astype(jnp.int32)
+    r_best = best // W
+    w_best = best % W
+    d_best = jnp.take_along_axis(rows.reshape(B, S1 * W), best[:, None],
+                                 axis=1)[:, 0]
+    j_best = r_best - half + w_best
+    return r_best, w_best, j_best, d_best
+
+
+def traceback_counts(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
+                     w_end: jnp.ndarray, W: int):
+    """Batched traceback from (seg_qlen, w_end) to row 0: match/column counts.
+
+    Returns (matches, align_len, lead_del) where lead_del is the number of
+    leading target deletions charged by the D[0][j]=j start row.
+    """
+    B, S, _ = moves.shape
+    half = W // 2
+    flat = moves.reshape(B, S * W)
+    rows_idx = jnp.arange(B, dtype=jnp.int32)
+
+    def body(_, state):
+        i, w, m, alen = state
+        active = i > 0
+        idx = jnp.clip((i - 1) * W + w, 0, S * W - 1)
+        mv = flat[rows_idx, idx]
+        is_diag = (mv == MOVE_MATCH) | (mv == MOVE_MISMATCH)
+        di = jnp.where(is_diag | (mv == MOVE_VERT), 1, 0)
+        dw = jnp.where(mv == MOVE_VERT, 1, jnp.where(mv == MOVE_HORIZ, -1, 0))
+        i2 = jnp.where(active, i - di, i)
+        w2 = jnp.where(active, w + dw, w)
+        m2 = jnp.where(active & (mv == MOVE_MATCH), m + 1, m)
+        a2 = jnp.where(active, alen + 1, alen)
+        return (i2, w2, m2, a2)
+
+    zeros = jnp.zeros_like(seg_qlen)
+    i, w, m, alen = jax.lax.fori_loop(
+        0, S + W, body, (seg_qlen.astype(jnp.int32), w_end, zeros, zeros))
+    lead_del = w - half  # at row 0, remaining j = w - half leading deletions
+    return m, alen + jnp.maximum(lead_del, 0), jnp.maximum(lead_del, 0)
+
+
+class ExtensionResult(NamedTuple):
+    q_adv: jnp.ndarray     # query bases consumed from the start point
+    t_adv: jnp.ndarray     # target bases consumed
+    dist: jnp.ndarray      # accumulated edit distance
+    matches: jnp.ndarray   # accumulated exact matches on the traceback path
+    align_len: jnp.ndarray # accumulated alignment columns
+
+
+@partial(jax.jit, static_argnames=("S", "W", "max_segs", "min_seg_identity"))
+def extend_direction(q_pad: jnp.ndarray, t_pad: jnp.ndarray,
+                     q0: jnp.ndarray, t0: jnp.ndarray,
+                     qlen: jnp.ndarray, tlen: jnp.ndarray,
+                     *, S: int = C.ALIGN_SEGMENT, W: int = C.ALIGN_BAND,
+                     max_segs: int = 64,
+                     min_seg_identity: float = C.MIN_SEGMENT_IDENTITY
+                     ) -> ExtensionResult:
+    """Segmented banded extension in one direction (SURVEY.md §3.5 loop).
+
+    q_pad/t_pad are sentinel-padded so every dynamic slice below stays in
+    bounds: q_pad [B, >= max(q0)+qlen+S], t_pad [B, >= max(t0)+tlen+S+W].
+    q0/t0: starting offsets of the extension; qlen/tlen: bases available in
+    this direction.  A segment whose identity falls below min_seg_identity is
+    rolled back and the extension stops (TODO(ref): exact reference stop rule
+    unknown; it stops when alignment quality degrades).
+    """
+    B = q_pad.shape[0]
+    half = W // 2
+    brow = jnp.arange(B, dtype=jnp.int32)
+
+    def seg_step(state, _):
+        qoff, toff, dist, matches, alen, active = state
+        seg_q = jnp.clip(qlen - qoff, 0, S).astype(jnp.int32)
+        rem_t = jnp.clip(tlen - toff, 0, S + half).astype(jnp.int32)
+
+        q_seg = jax.vmap(
+            lambda row, o: jax.lax.dynamic_slice(row, (o,), (S,))
+        )(q_pad, (q0 + qoff).astype(jnp.int32))
+        t_seg = jax.vmap(
+            lambda row, o: jax.lax.dynamic_slice(row, (o,), (S + half,))
+        )(t_pad, (t0 + toff).astype(jnp.int32))
+
+        rows, moves = banded_dp_segment(q_seg, t_seg, rem_t, W)
+        r_end, w_end, j_end, d_seg = pick_end_local(rows, seg_q, rem_t, W)
+        m_seg, a_seg, _ = traceback_counts(moves, r_end, w_end, W)
+
+        ident = m_seg / jnp.maximum(a_seg, 1)
+        ok = active & (r_end + j_end > 0) & (d_seg < INF) & (
+            (ident >= min_seg_identity) | (a_seg < 32))
+        qoff2 = jnp.where(ok, qoff + r_end, qoff)
+        toff2 = jnp.where(ok, toff + j_end, toff)
+        dist2 = jnp.where(ok, dist + d_seg, dist)
+        m2 = jnp.where(ok, matches + m_seg, matches)
+        a2 = jnp.where(ok, alen + a_seg, alen)
+        # Keep extending while the best-scoring cell is near the segment end
+        # (the unconsumed tail, e.g. a trailing error burst, is re-aligned by
+        # the next, re-centred segment).  A best cell well inside the segment
+        # means quality genuinely degraded there: stop, already trimmed.
+        slack = max(1, S // 4)
+        active2 = (ok & (r_end >= seg_q - slack) & (r_end >= 1)
+                   & (qoff2 < qlen) & (toff2 < tlen))
+        return (qoff2, toff2, dist2, m2, a2, active2), None
+
+    zeros = jnp.zeros((B,), jnp.int32)
+    init = (zeros, zeros, zeros, zeros, zeros,
+            (qlen > 0) & (tlen > 0))
+    (qoff, toff, dist, matches, alen, _), _ = jax.lax.scan(
+        seg_step, init, None, length=max_segs)
+    return ExtensionResult(qoff, toff, dist, matches, alen)
+
+
+class PairAlignment(NamedTuple):
+    """Both-direction extension of a seed; coords in the scanned orientation."""
+
+    qbeg: jnp.ndarray
+    qend: jnp.ndarray
+    tbeg: jnp.ndarray
+    tend: jnp.ndarray
+    dist: jnp.ndarray
+    matches: jnp.ndarray
+    align_len: jnp.ndarray
+    identity: jnp.ndarray  # float32 percent
+
+
+@partial(jax.jit, static_argnames=("S", "W", "max_segs", "min_seg_identity"))
+def extend_pair_batch(q: jnp.ndarray, t: jnp.ndarray,
+                      qlen: jnp.ndarray, tlen: jnp.ndarray,
+                      qseed: jnp.ndarray, tseed: jnp.ndarray,
+                      *, S: int = C.ALIGN_SEGMENT, W: int = C.ALIGN_BAND,
+                      max_segs: int = 64,
+                      min_seg_identity: float = C.MIN_SEGMENT_IDENTITY
+                      ) -> PairAlignment:
+    """Extend candidate seeds both directions (SURVEY.md §3.1 HOT LOOP 2).
+
+    q: uint8 [B, Lq] queries in scanned orientation; t: uint8 [B, Lt] targets
+    (forward volume orientation); seeds from the DDF scan.
+    """
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    half = W // 2
+
+    def pad(a, extra, sentinel):
+        out = jnp.full((B, a.shape[1] + extra), sentinel, dtype=a.dtype)
+        return out.at[:, :a.shape[1]].set(a)
+
+    # mask out the padded tails so flipped rows can't leak real-looking bases
+    col = jnp.arange(Lq, dtype=jnp.int32)
+    qm = jnp.where(col[None, :] < qlen[:, None], q, Q_SENTINEL).astype(q.dtype)
+    colt = jnp.arange(Lt, dtype=jnp.int32)
+    tm = jnp.where(colt[None, :] < tlen[:, None], t, T_SENTINEL).astype(t.dtype)
+
+    q_fwd = pad(qm, S, Q_SENTINEL)
+    t_fwd = pad(tm, S + W, T_SENTINEL)
+    q_rev = pad(jnp.flip(qm, axis=1), S, Q_SENTINEL)
+    t_rev = pad(jnp.flip(tm, axis=1), S + W, T_SENTINEL)
+
+    right = extend_direction(q_fwd, t_fwd, qseed, tseed,
+                             qlen - qseed, tlen - tseed,
+                             S=S, W=W, max_segs=max_segs,
+                             min_seg_identity=min_seg_identity)
+    left = extend_direction(q_rev, t_rev, Lq - qseed, Lt - tseed,
+                            qseed, tseed,
+                            S=S, W=W, max_segs=max_segs,
+                            min_seg_identity=min_seg_identity)
+
+    matches = left.matches + right.matches
+    alen = left.align_len + right.align_len
+    identity = 100.0 * matches / jnp.maximum(alen, 1)
+    return PairAlignment(
+        qbeg=qseed - left.q_adv, qend=qseed + right.q_adv,
+        tbeg=tseed - left.t_adv, tend=tseed + right.t_adv,
+        dist=left.dist + right.dist, matches=matches, align_len=alen,
+        identity=identity.astype(jnp.float32))
