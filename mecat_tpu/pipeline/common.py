@@ -1,0 +1,63 @@
+"""Shared host-side batching helpers for the pipeline drivers."""
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .. import constants as C
+from ..io.packed_db import PackedDB, revcomp
+from ..ops.align import Q_SENTINEL, T_SENTINEL
+
+
+def bucket_length(n: int, minimum: int = 1024) -> int:
+    """Smallest power-of-two-ish padded length >= n (multiples of 1024)."""
+    return max(minimum, int(math.ceil(n / 1024)) * 1024)
+
+
+def oriented_batch(db: PackedDB, read_ids: Sequence[int], L: int
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gather reads in both orientations, padded to L.
+
+    Returns (fwd[B, L], rev[B, L], lengths[B]).  Padding value 0 — callers
+    that feed the aligner must re-pad with sentinels (extend_pair_batch masks
+    tails itself).
+    """
+    fwd, lens = db.padded_batch(read_ids, pad_to=L)
+    rev = np.zeros_like(fwd)
+    for i in range(len(read_ids)):
+        n = int(lens[i])
+        rev[i, :n] = revcomp(fwd[i, :n])
+    return fwd, rev, lens
+
+
+def gather_rows(flat: np.ndarray, starts: np.ndarray, lengths: np.ndarray,
+                ids: np.ndarray, L: int, fill: int = 0) -> np.ndarray:
+    """Vectorised ragged gather: rows[i] = flat[starts[ids[i]] : +lengths], padded."""
+    ids = np.asarray(ids, dtype=np.int64)
+    lens = lengths[ids].astype(np.int64)
+    idx = starts[ids][:, None] + np.arange(L, dtype=np.int64)[None, :]
+    mask = np.arange(L, dtype=np.int64)[None, :] < lens[:, None]
+    idx = np.where(mask, idx, 0)
+    out = flat[idx]
+    out[~mask] = fill
+    return out
+
+
+def pad_to_batch(arrays: List[np.ndarray], batch: int) -> List[np.ndarray]:
+    """Pad the leading dim of every array to `batch` (repeat-last padding)."""
+    out = []
+    for a in arrays:
+        n = a.shape[0]
+        if n == batch:
+            out.append(a)
+        else:
+            pad = np.zeros((batch - n,) + a.shape[1:], dtype=a.dtype)
+            out.append(np.concatenate([a, pad], axis=0))
+    return out
+
+
+def max_segs_for(L: int, S: int) -> int:
+    """Scan length covering L query bases when each segment may re-align S//4."""
+    return int(math.ceil(L / max(1, S - S // 4))) + 2

@@ -1,0 +1,111 @@
+"""End-to-end mecat2pw tests on simulated reads with ground truth."""
+import numpy as np
+import pytest
+
+from mecat_tpu.io.m4 import (CandidateRecord, M4Record, read_candidates,
+                             read_m4)
+from mecat_tpu.io.fasta import write_fasta
+from mecat_tpu.pipeline.pw import PwOptions, run_pw
+from mecat_tpu.utils.sim import random_genome, simulate_reads, true_overlap
+
+OPTS = dict(num_candidates=20, min_align_size=500, kmer_size=8,
+            scan_stride=4, scan_batch=16, extend_batch=64,
+            align_segment=128, align_band=64, diag_bin=128)
+
+
+@pytest.fixture(scope="module")
+def sim_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("pw")
+    genome = random_genome(15000, seed=51)
+    db, truths = simulate_reads(genome, 24, mean_len=2500, min_len=1200,
+                                seed=52, error_rate=0.08)
+    reads = str(tmp / "reads.fasta")
+    write_fasta(reads, [(db.name(i), db.read(i)) for i in range(db.n_reads)])
+    return tmp, reads, db, truths
+
+
+def test_pw_m4(sim_setup):
+    tmp, reads, db, truths = sim_setup
+    out = str(tmp / "out.m4")
+    stats = run_pw(reads, out, str(tmp / "wrk"), PwOptions(task=1, **OPTS))
+    recs = list(read_m4(out))
+    assert stats.overlaps == len(recs) > 0
+
+    # --- format / coordinate sanity -------------------------------------
+    for r in recs:
+        assert 1 <= r.qid <= db.n_reads and 1 <= r.sid <= db.n_reads
+        assert r.qid != r.sid
+        assert r.qstrand == 0 and r.sstrand in (0, 1)
+        assert 0 <= r.qstart < r.qend <= r.qsize
+        assert 0 <= r.sstart < r.send <= r.ssize
+        assert r.qsize == int(db.lengths[r.qid - 1])
+        assert r.ssize == int(db.lengths[r.sid - 1])
+        assert 0 < r.identity <= 100.0
+
+    # --- precision: every reported overlap is a true genomic overlap ----
+    bad = 0
+    for r in recs:
+        if true_overlap(truths[r.qid - 1], truths[r.sid - 1]) < 300:
+            bad += 1
+    assert bad / len(recs) <= 0.05, f"{bad}/{len(recs)} false overlaps"
+
+    # --- strand consistency ----------------------------------------------
+    for r in recs[:50]:
+        same = truths[r.qid - 1].strand == truths[r.sid - 1].strand
+        assert (r.sstrand == 0) == same
+
+    # --- sensitivity -------------------------------------------------------
+    true_pairs = {(min(a, b), max(a, b))
+                  for a in range(db.n_reads) for b in range(db.n_reads)
+                  if a < b and true_overlap(truths[a], truths[b]) >= 1500}
+    found = {(min(r.qid, r.sid) - 1, max(r.qid, r.sid) - 1) for r in recs}
+    sens = len(true_pairs & found) / max(1, len(true_pairs))
+    assert len(true_pairs) >= 10
+    assert sens >= 0.85, f"sensitivity {sens:.2f} ({len(true_pairs)} pairs)"
+
+
+def test_pw_candidates(sim_setup):
+    tmp, reads, db, truths = sim_setup
+    out = str(tmp / "out.cand")
+    stats = run_pw(reads, out, str(tmp / "wrk2"), PwOptions(task=0, **OPTS))
+    recs = list(read_candidates(out))
+    assert stats.candidates == len(recs) > 0
+    for r in recs:
+        assert 1 <= r.qid <= db.n_reads and 1 <= r.sid <= db.n_reads
+        assert r.qid != r.sid
+        assert r.qdir in (0, 1) and r.sdir == 0
+        assert 0 <= r.qext < r.qsize
+        assert 0 <= r.sext < r.ssize
+        assert r.qsize == int(db.lengths[r.qid - 1])
+        assert r.ssize == int(db.lengths[r.sid - 1])
+        assert r.score >= 2
+
+
+def test_pw_multivolume(sim_setup):
+    """Volume splitting must not lose cross-volume overlaps."""
+    tmp, reads, db, truths = sim_setup
+    out1 = str(tmp / "one.m4")
+    outN = str(tmp / "multi.m4")
+    run_pw(reads, out1, str(tmp / "w3"), PwOptions(task=1, **OPTS))
+    run_pw(reads, outN, str(tmp / "w4"),
+           PwOptions(task=1, volume_bases=20000, **OPTS))
+    pairs1 = {(r.qid, r.sid, r.sstrand) for r in read_m4(out1)}
+    pairsN = {(min(r.qid, r.sid), max(r.qid, r.sid), r.sstrand)
+              for r in read_m4(outN)}
+    pairs1u = {(min(a, b), max(a, b), s) for a, b, s in pairs1}
+    # multi-volume finds at least 90% of single-volume unordered pairs
+    inter = len(pairs1u & pairsN)
+    assert inter / max(1, len(pairs1u)) >= 0.9
+
+
+def test_cli(sim_setup):
+    tmp, reads, db, truths = sim_setup
+    from mecat_tpu.cli.mecat2pw import main
+    out = str(tmp / "cli.m4")
+    rc = main(["-j", "1", "-d", reads, "-o", out, "-w", str(tmp / "w5"),
+               "-t", "2", "-n", "20", "-a", "500", "--kmer-size", "8",
+               "--scan-stride", "4", "--scan-batch", "16",
+               "--extend-batch", "64", "--align-segment", "128",
+               "--align-band", "64"])
+    assert rc == 0
+    assert len(list(read_m4(out))) > 0
