@@ -1,0 +1,141 @@
+"""Benchmark: overlaps/s/chip for the fused device overlap step.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "overlaps/s/chip", "vs_baseline": N}
+
+Workload: simulated PacBio-like reads (the reference's bundled E. coli data
+is unavailable — /root/reference is empty, see SURVEY.md provenance notice),
+all-vs-all overlap via the fused scan→score→extend step on the real chip.
+
+vs_baseline: ratio against the SAME step compiled for the host CPU backend
+(one socket) on a subsample — a provisional stand-in for the reference C++
+on one socket until the reference binaries exist (BASELINE.md).  The
+north-star target for this ratio is >= 50.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# bench shape knobs (env-overridable for quick local runs)
+GENOME = int(os.environ.get("BENCH_GENOME", 500_000))
+COVERAGE = float(os.environ.get("BENCH_COVERAGE", 15))
+MEAN_LEN = int(os.environ.get("BENCH_MEAN_LEN", 5000))
+L = int(os.environ.get("BENCH_L", 8192))
+B = int(os.environ.get("BENCH_B", 128))
+N_CAND = int(os.environ.get("BENCH_NCAND", 16))
+CFG = dict(k=13, stride=10, max_occ=16, num_candidates=N_CAND, diag_bin=256,
+           L_target=L, S=512, W=128, max_segs=30, min_align_size=1000,
+           min_identity=70.0)
+
+
+def build_workload():
+    from mecat_tpu.index.kmer_index import build_index
+    from mecat_tpu.utils.sim import random_genome, simulate_reads
+
+    n_reads = int(GENOME * COVERAGE / MEAN_LEN)
+    n_reads -= n_reads % B or B  # multiple of B, at least B
+    n_reads = max(n_reads, B)
+    log(f"bench: genome={GENOME} reads={n_reads} mean_len={MEAN_LEN}")
+    genome = random_genome(GENOME, seed=91)
+    db, _ = simulate_reads(genome, n_reads, mean_len=MEAN_LEN, min_len=2000,
+                           seed=92, error_rate=0.12)
+    t0 = time.time()
+    idx = build_index(db.codes, db.starts, db.lengths, k=CFG["k"])
+    log(f"bench: index build {time.time() - t0:.1f}s "
+        f"({len(idx.positions)} positions)")
+    return db, idx
+
+
+def run_on(device, db, idx, n_batches):
+    from mecat_tpu.pipeline.device_step import overlap_step
+
+    with jax.default_device(device):
+        dev = dict(
+            vol_codes=jnp.asarray(db.codes),
+            offsets=jnp.asarray(idx.offsets),
+            positions=jnp.asarray(idx.positions),
+            read_starts=jnp.asarray(idx.read_starts),
+            read_lengths=jnp.asarray(idx.read_lengths))
+        cutoff = jnp.int32(idx.max_occ_cutoff)
+
+        def batch_args(bi):
+            ids = range(bi * B, (bi + 1) * B)
+            bases, lens = db.padded_batch(ids, pad_to=L)
+            return (jnp.asarray(bases), jnp.asarray(lens),
+                    jnp.asarray(np.arange(bi * B, (bi + 1) * B,
+                                          dtype=np.int32)))
+
+        # warmup/compile
+        a = batch_args(0)
+        out = overlap_step(a[0], a[1], a[2], dev["vol_codes"], dev["offsets"],
+                           dev["positions"], dev["read_starts"],
+                           dev["read_lengths"], cutoff, **CFG)
+        jax.block_until_ready(out)
+
+        t0 = time.time()
+        overlaps = 0
+        for bi in range(n_batches):
+            a = batch_args(bi % (db.n_reads // B))
+            out = overlap_step(a[0], a[1], a[2], dev["vol_codes"],
+                               dev["offsets"], dev["positions"],
+                               dev["read_starts"], dev["read_lengths"],
+                               cutoff, **CFG)
+            overlaps += int(np.asarray(out.valid).sum())
+        dt = time.time() - t0
+    return overlaps, dt
+
+
+def main():
+    db, idx = build_workload()
+    platform = jax.devices()[0].platform
+    log(f"bench: primary device {jax.devices()[0]} ({platform})")
+
+    n_batches = int(os.environ.get("BENCH_BATCHES", 8))
+    t0 = time.time()
+    overlaps, dt = run_on(jax.devices()[0], db, idx, n_batches)
+    rate = overlaps / dt if dt > 0 else 0.0
+    log(f"bench: chip: {overlaps} overlaps in {dt:.2f}s -> {rate:.1f}/s "
+        f"(compile+run total {time.time() - t0:.1f}s)")
+
+    # CPU-socket provisional baseline on a subsample
+    vs = None
+    try:
+        cpus = jax.devices("cpu")
+        if cpus and platform != "cpu":
+            c_overlaps, c_dt = run_on(cpus[0], db, idx,
+                                      max(1, n_batches // 8))
+            c_rate = c_overlaps / c_dt if c_dt > 0 else 0.0
+            log(f"bench: cpu-socket baseline: {c_overlaps} in {c_dt:.2f}s "
+                f"-> {c_rate:.1f}/s")
+            if c_rate > 0:
+                vs = rate / c_rate
+    except Exception as e:  # pragma: no cover
+        log(f"bench: cpu baseline unavailable: {e}")
+
+    print(json.dumps({
+        "metric": "pairwise overlap throughput (fused scan+extend, simulated "
+                  "PacBio reads)",
+        "value": round(rate, 2),
+        "unit": "overlaps/s/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,12 +48,10 @@ class Candidates(NamedTuple):
     valid: jnp.ndarray    # bool
 
 
-@partial(jax.jit, static_argnames=("k", "stride", "max_occ", "num_candidates",
-                                   "diag_bin"))
-def scan_candidates(
+def probe_hits(
     bases: jnp.ndarray,        # uint8 [B, L] query bases (already oriented)
     lengths: jnp.ndarray,      # int32 [B]
-    offsets: jnp.ndarray,      # index CSR offsets
+    offsets: jnp.ndarray,      # index CSR offsets (full or one hash shard)
     positions: jnp.ndarray,    # index positions
     read_starts: jnp.ndarray,  # int32 [n_reads] of the indexed volume
     read_lengths: jnp.ndarray, # int32 [n_reads]
@@ -63,24 +61,30 @@ def scan_candidates(
     k: int = C.KMER_SIZE,
     stride: int = C.KMER_SCAN_STRIDE,
     max_occ: int = C.MAX_OCC_PER_KMER,
-    num_candidates: int = C.DEFAULT_NUM_CANDIDATES,
     diag_bin: int = C.DDF_DIAG_BIN,
-) -> Candidates:
+    code_lo: int | jnp.ndarray = 0,
+    code_hi: int | jnp.ndarray = 1 << 30,
+):
+    """Steps 1–3: sampled k-mer probe → flat (rid, dbin, qpos, toff) hits.
+
+    ``code_lo``/``code_hi`` restrict probing to a k-mer code range — the hook
+    for hash-range index sharding (SURVEY.md §2.3): each shard holds the CSR
+    slice for its range and masks everything else.  Returns [B, H] arrays
+    with H = ceil(L/stride) * max_occ.
+    """
     B, L = bases.shape
     Q = (L + stride - 1) // stride
     H = Q * max_occ
 
-    # -- 1. sampled query k-mer codes ---------------------------------------
     all_codes = kmer_codes_jnp(bases, k)                      # [B, L]
     qpos = jnp.arange(Q, dtype=jnp.int32) * stride            # [Q]
     codes = all_codes[:, ::stride][:, :Q]                     # [B, Q]
     qvalid = qpos[None, :] + k <= lengths[:, None]            # [B, Q]
+    qvalid &= (codes >= code_lo) & (codes < code_hi)
 
-    # -- 2. probe ------------------------------------------------------------
-    hit_pos, hit_valid = probe_index(offsets, positions, codes, qvalid,
-                                     cutoff, max_occ=max_occ)  # [B, Q, O]
+    hit_pos, hit_valid = probe_index(offsets, positions, codes - code_lo,
+                                     qvalid, cutoff, max_occ=max_occ)
 
-    # -- 3. hits → (target read, diagonal) -----------------------------------
     rid, toff = global_to_read(read_starts, read_lengths,
                                hit_pos.reshape(B, H))
     hqpos = jnp.broadcast_to(qpos[None, :, None],
@@ -88,11 +92,27 @@ def scan_candidates(
     hvalid = hit_valid.reshape(B, H)
     hvalid &= rid != self_id[:, None]
     dbin = ((hqpos - toff + _DIAG_SHIFT) // diag_bin).astype(jnp.int32)
+    return rid, dbin, hqpos, toff, hvalid
 
-    # -- 4. lexicographic sort by (target, diagonal bin) ----------------------
+
+def score_hits(rid, dbin, hqpos, toff, hvalid, *, num_candidates: int
+               ) -> Candidates:
+    """Steps 4–6: sort hits by (target, diagonal-bin), run-length score, top-n.
+
+    Hits may come from one device's probe or be the concatenation of several
+    hash shards' probes after an all-to-all exchange — the scoring is
+    identical either way.
+    """
+    B, H = rid.shape
+    num_candidates = min(num_candidates, H)
+
+    # -- 4. lexicographic sort by (target, diagonal bin, qpos, tpos) ---------
+    # qpos/toff participate as tie-break keys so the within-run order (and
+    # hence the seed choice below) is invariant to hit arrangement — single
+    # device and hash-sharded all-to-all layouts give identical results.
     rid_key = jnp.where(hvalid, rid, _INVALID_RID)
     rid_s, dbin_s, qpos_s, toff_s = jax.lax.sort(
-        (rid_key, dbin, hqpos, toff), num_keys=2, dimension=-1)
+        (rid_key, dbin, hqpos, toff), num_keys=4, dimension=-1)
     svalid = rid_s != _INVALID_RID
 
     # -- 5. run-length scores -------------------------------------------------
@@ -108,7 +128,7 @@ def scan_candidates(
         run_len, run_id_c, axis=-1), 0)
 
     # -- 6. top-n candidates ---------------------------------------------------
-    n = min(num_candidates, H)
+    n = num_candidates
     top_score, top_idx = jax.lax.top_k(score_at_start, n)     # [B, n]
     # seed = middle hit of the run (stable sort keeps within-run qpos order)
     seed_idx = jnp.minimum(top_idx + top_score // 2, H - 1)
@@ -120,3 +140,30 @@ def scan_candidates(
         valid=top_score >= C.MIN_BLOCK_SCORE,
     )
     return cand
+
+
+@partial(jax.jit, static_argnames=("k", "stride", "max_occ", "num_candidates",
+                                   "diag_bin"))
+def scan_candidates(
+    bases: jnp.ndarray,
+    lengths: jnp.ndarray,
+    offsets: jnp.ndarray,
+    positions: jnp.ndarray,
+    read_starts: jnp.ndarray,
+    read_lengths: jnp.ndarray,
+    cutoff: jnp.ndarray,
+    self_id: jnp.ndarray,
+    *,
+    k: int = C.KMER_SIZE,
+    stride: int = C.KMER_SCAN_STRIDE,
+    max_occ: int = C.MAX_OCC_PER_KMER,
+    num_candidates: int = C.DEFAULT_NUM_CANDIDATES,
+    diag_bin: int = C.DDF_DIAG_BIN,
+) -> Candidates:
+    """Single-device candidate scan: probe_hits → score_hits."""
+    rid, dbin, hqpos, toff, hvalid = probe_hits(
+        bases, lengths, offsets, positions, read_starts, read_lengths,
+        cutoff, self_id, k=k, stride=stride, max_occ=max_occ,
+        diag_bin=diag_bin)
+    return score_hits(rid, dbin, hqpos, toff, hvalid,
+                      num_candidates=num_candidates)

@@ -1,0 +1,184 @@
+"""Multi-chip sharded overlap step: data-parallel reads × hash-sharded index.
+
+This is the TPU restatement of the reference's scale-out story (SURVEY.md
+§2.3/§2.4): where the reference shards work as volumes on a shared
+filesystem and grid array jobs, we shard over a ``jax.sharding.Mesh`` with
+two axes:
+
+* ``data`` — query read batches, the DP analog (reference: volume streaming);
+* ``hash`` — the k-mer index split by code range, the "expert-routing-shaped"
+  axis (reference: one lookup table per volume).  Every device probes its
+  index shard for the whole local query batch, then hits are exchanged with
+  ``all_to_all`` over ICI so each device ends up scoring/extending a 1/|hash|
+  slice of the queries with the hits from *all* shards — exactly the
+  north-star design in BASELINE.json.
+
+The volume's packed bases are replicated (cheap: 1 byte/base) so extension
+is local after the exchange; per-read overlap lists never need a second
+collective because scoring happens where the hits land.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import constants as C
+from ..index.kmer_index import KmerIndex
+from ..ops import ddf
+from ..ops.align import extend_pair_batch
+from ..pipeline.device_step import OverlapStepOut
+
+
+def make_mesh(n_data: int, n_hash: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_data * n_hash, (len(devices), n_data, n_hash)
+    arr = np.asarray(devices[: n_data * n_hash]).reshape(n_data, n_hash)
+    return Mesh(arr, axis_names=("data", "hash"))
+
+
+def shard_index_by_hash(idx: KmerIndex, n_hash: int
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split a CSR k-mer table into n_hash equal code ranges.
+
+    Returns (offsets_sh [n_hash, spp+1], positions_sh [n_hash, P_max],
+    code_lo [n_hash]) with per-shard offsets rebased to the shard's
+    positions slice and positions padded to the longest shard.
+    """
+    n_slots = len(idx.offsets) - 1
+    assert n_slots % n_hash == 0, (n_slots, n_hash)
+    spp = n_slots // n_hash
+    off_sh, pos_sh, lo = [], [], []
+    for h in range(n_hash):
+        a, b = h * spp, (h + 1) * spp
+        base = int(idx.offsets[a])
+        off_sh.append(idx.offsets[a:b + 1].astype(np.int32) - base)
+        pos_sh.append(idx.positions[base:int(idx.offsets[b])])
+        lo.append(a)
+    pmax = max(1, max(len(p) for p in pos_sh))
+    pos_pad = np.zeros((n_hash, pmax), dtype=np.int32)
+    for h, p in enumerate(pos_sh):
+        pos_pad[h, :len(p)] = p
+    return (np.stack(off_sh), pos_pad,
+            np.asarray(lo, dtype=np.int32))
+
+
+def sharded_overlap_step(
+    mesh: Mesh,
+    *,
+    k: int = C.KMER_SIZE,
+    stride: int = C.KMER_SCAN_STRIDE,
+    max_occ: int = C.MAX_OCC_PER_KMER,
+    num_candidates: int = 16,
+    diag_bin: int = C.DDF_DIAG_BIN,
+    L_target: int = 2048,
+    S: int = C.ALIGN_SEGMENT,
+    W: int = C.ALIGN_BAND,
+    max_segs: int = 8,
+    min_align_size: int = C.DEFAULT_MIN_ALIGN_SIZE,
+    min_identity: float = C.MIN_OVERLAP_IDENTITY,
+):
+    """Build the pjit-able sharded overlap step for `mesh`.
+
+    Argument shardings (enforced by shard_map):
+      bases/lengths/self_id: sharded over 'data' (replicated over 'hash');
+      offsets_sh/positions_sh/code_lo: leading dim sharded over 'hash'
+        (replicated over 'data');
+      vol_codes/read_starts/read_lengths/cutoff: replicated.
+
+    Output: OverlapStepOut with leading dim sharded over ('data', 'hash') —
+    each device owns the results of its 1/(data*hash) query slice.
+    """
+    n_hash = mesh.shape["hash"]
+
+    def step(bases, lengths, self_id, vol_codes, offsets_sh, positions_sh,
+             code_lo, read_starts, read_lengths, cutoff):
+        # local views: bases [Bl, L]; offsets_sh [1, spp+1]; code_lo [1]
+        Bl = bases.shape[0]
+        assert Bl % n_hash == 0, (Bl, n_hash)
+        Bh = Bl // n_hash
+        offsets_l = offsets_sh[0]
+        positions_l = positions_sh[0]
+        lo = code_lo[0]
+        spp = offsets_l.shape[0] - 1
+
+        # 1. probe the local hash shard for the full local query batch
+        rid, dbin, hqpos, toff, hvalid = ddf.probe_hits(
+            bases, lengths, offsets_l, positions_l, read_starts,
+            read_lengths, cutoff, self_id, k=k, stride=stride,
+            max_occ=max_occ, diag_bin=diag_bin,
+            code_lo=lo, code_hi=lo + spp)
+
+        # 2. all-to-all over 'hash': device h keeps query slice h, gains the
+        #    hits every shard found for that slice  → [Bh, H * n_hash]
+        def exchange(x):
+            return jax.lax.all_to_all(x, "hash", split_axis=0, concat_axis=1,
+                                      tiled=True)
+        rid, dbin, hqpos, toff = (
+            exchange(rid), exchange(dbin), exchange(hqpos), exchange(toff))
+        hvalid = exchange(hvalid.astype(jnp.int8)) != 0
+
+        # 3. score the combined hits for this device's query slice
+        cand = ddf.score_hits(rid, dbin, hqpos, toff, hvalid,
+                              num_candidates=num_candidates)
+
+        # 4. local extension against the replicated volume
+        h = jax.lax.axis_index("hash")
+        q_sub = jax.lax.dynamic_slice_in_dim(bases, h * Bh, Bh, axis=0)
+        qlen_sub = jax.lax.dynamic_slice_in_dim(lengths, h * Bh, Bh, axis=0)
+        N = num_candidates
+        tgt = jnp.clip(cand.target, 0, read_starts.shape[0] - 1).reshape(-1)
+        t_start = read_starts[tgt].astype(jnp.int32)
+        t_len = read_lengths[tgt].astype(jnp.int32)
+        col = jnp.arange(L_target, dtype=jnp.int32)
+        t_mask = col[None, :] < t_len[:, None]
+        t_rows = jnp.where(t_mask,
+                           vol_codes[jnp.where(t_mask,
+                                               t_start[:, None] + col[None, :],
+                                               0)], 0)
+        res = extend_pair_batch(
+            jnp.repeat(q_sub, N, axis=0), t_rows,
+            jnp.repeat(qlen_sub, N), t_len,
+            jnp.maximum(cand.qseed.reshape(-1), 0),
+            jnp.minimum(jnp.maximum(cand.tseed.reshape(-1), 0),
+                        jnp.maximum(t_len - 1, 0)),
+            S=S, W=W, max_segs=max_segs)
+
+        qspan = (res.qend - res.qbeg).reshape(Bh, N)
+        tspan = (res.tend - res.tbeg).reshape(Bh, N)
+        ok = (cand.valid
+              & (res.identity.reshape(Bh, N) >= min_identity)
+              & (jnp.minimum(qspan, tspan) >= min_align_size))
+        return OverlapStepOut(
+            target=cand.target, score=cand.score,
+            qbeg=res.qbeg.reshape(Bh, N), qend=res.qend.reshape(Bh, N),
+            tbeg=res.tbeg.reshape(Bh, N), tend=res.tend.reshape(Bh, N),
+            identity=res.identity.reshape(Bh, N), valid=ok)
+
+    mapped = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"),        # queries
+                  P(),                                     # vol_codes
+                  P("hash"), P("hash"), P("hash"),         # index shards
+                  P(), P(), P()),                          # read tables
+        out_specs=jax.tree.map(lambda _: P(("data", "hash")),
+                               OverlapStepOut(*(0,) * 8)),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def place_sharded_inputs(mesh: Mesh, bases, lengths, self_id, vol_codes,
+                         offsets_sh, positions_sh, code_lo, read_starts,
+                         read_lengths, cutoff):
+    """Device-put host arrays with the shardings sharded_overlap_step expects."""
+    def put(x, spec):
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    return (put(bases, P("data")), put(lengths, P("data")),
+            put(self_id, P("data")), put(vol_codes, P()),
+            put(offsets_sh, P("hash")), put(positions_sh, P("hash")),
+            put(code_lo, P("hash")), put(read_starts, P()),
+            put(read_lengths, P()), put(cutoff, P()))
