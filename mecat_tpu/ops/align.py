@@ -189,10 +189,70 @@ def traceback_counts(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
         return (i2, w2, m2, a2)
 
     zeros = jnp.zeros_like(seg_qlen)
+    # bound: alen <= (diag+vert) + horiz <= S + (S + W/2) columns
     i, w, m, alen = jax.lax.fori_loop(
-        0, S + W, body, (seg_qlen.astype(jnp.int32), w_end, zeros, zeros))
+        0, 2 * S + W, body, (seg_qlen.astype(jnp.int32), w_end, zeros, zeros))
     lead_del = w - half  # at row 0, remaining j = w - half leading deletions
     return m, alen + jnp.maximum(lead_del, 0), jnp.maximum(lead_del, 0)
+
+
+def traceback_ops(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
+                  w_end: jnp.ndarray, W: int):
+    """Batched traceback emitting the full op tape (for consensus tags).
+
+    Returns (ops, qi, tj, n_cols):
+      ops: int8 [B, MAXC] move codes in TEMPLATE-FORWARD order (tape is
+        written backwards from the end state and right-aligned, so column
+        c of pair b lives at ops[b, MAXC - n_cols[b] + c]);
+      qi:  int32 [B, MAXC] query char index of the column (-1 for deletions);
+      tj:  int32 [B, MAXC] target char index (for insertions: the target
+        position the insert precedes);
+      n_cols: int32 [B].
+    MAXC = 2*S + W (worst-case column count of one segment).
+    """
+    B, S, _ = moves.shape
+    half = W // 2
+    MAXC = 2 * S + W
+    flat = moves.reshape(B, S * W)
+    rows_idx = jnp.arange(B, dtype=jnp.int32)
+
+    def body(step, state):
+        i, w, n, ops, qi, tj = state
+        j = i - half + w
+        in_dp = i > 0
+        tail_del = (i == 0) & (j > 0)   # leading target deletions at row 0
+        idx = jnp.clip((i - 1) * W + w, 0, S * W - 1)
+        mv = jnp.where(in_dp, flat[rows_idx, idx],
+                       jnp.where(tail_del, MOVE_HORIZ, -1)).astype(jnp.int8)
+        active = mv >= 0
+        is_diag = (mv == MOVE_MATCH) | (mv == MOVE_MISMATCH)
+        di = jnp.where(is_diag | (mv == MOVE_VERT), 1, 0)
+        dw = jnp.where(mv == MOVE_VERT, 1,
+                       jnp.where(mv == MOVE_HORIZ, -1, 0))
+        # tail deletions: i stays 0, j decreases => w decreases
+        dw = jnp.where(in_dp, dw, -1)
+        col_qi = jnp.where(is_diag | (mv == MOVE_VERT), i - 1, -1)
+        col_tj = jnp.where(is_diag, j - 1,
+                           jnp.where(mv == MOVE_VERT, j, j - 1))
+        slot = jnp.where(active, MAXC - 1 - step, MAXC - 1)
+        ops = ops.at[rows_idx, slot].set(
+            jnp.where(active, mv, ops[rows_idx, slot]))
+        qi = qi.at[rows_idx, slot].set(
+            jnp.where(active, col_qi, qi[rows_idx, slot]))
+        tj = tj.at[rows_idx, slot].set(
+            jnp.where(active, col_tj, tj[rows_idx, slot]))
+        i2 = jnp.where(active & in_dp, i - di, i)
+        w2 = jnp.where(active, w + dw, w)
+        n2 = jnp.where(active, n + 1, n)
+        return (i2, w2, n2, ops, qi, tj)
+
+    zeros = jnp.zeros((B,), jnp.int32)
+    init = (seg_qlen.astype(jnp.int32), w_end, zeros,
+            jnp.full((B, MAXC), -1, jnp.int8),
+            jnp.full((B, MAXC), -1, jnp.int32),
+            jnp.full((B, MAXC), -1, jnp.int32))
+    _, _, n, ops, qi, tj = jax.lax.fori_loop(0, MAXC, body, init)
+    return ops, qi, tj, n
 
 
 class ExtensionResult(NamedTuple):
@@ -203,14 +263,8 @@ class ExtensionResult(NamedTuple):
     align_len: jnp.ndarray # accumulated alignment columns
 
 
-@partial(jax.jit, static_argnames=("S", "W", "max_segs", "min_seg_identity"))
-def extend_direction(q_pad: jnp.ndarray, t_pad: jnp.ndarray,
-                     q0: jnp.ndarray, t0: jnp.ndarray,
-                     qlen: jnp.ndarray, tlen: jnp.ndarray,
-                     *, S: int = C.ALIGN_SEGMENT, W: int = C.ALIGN_BAND,
-                     max_segs: int = 64,
-                     min_seg_identity: float = C.MIN_SEGMENT_IDENTITY
-                     ) -> ExtensionResult:
+def _extend_direction_impl(q_pad, t_pad, q0, t0, qlen, tlen, *, S, W,
+                           max_segs, min_seg_identity, collect_ops):
     """Segmented banded extension in one direction (SURVEY.md §3.5 loop).
 
     q_pad/t_pad are sentinel-padded so every dynamic slice below stays in
@@ -219,10 +273,13 @@ def extend_direction(q_pad: jnp.ndarray, t_pad: jnp.ndarray,
     this direction.  A segment whose identity falls below min_seg_identity is
     rolled back and the extension stops (TODO(ref): exact reference stop rule
     unknown; it stops when alignment quality degrades).
+
+    With collect_ops, also returns per-segment op tapes
+    (ops, qi, tj, n_cols, qoff_before, toff_before, applied), each with a
+    leading max_segs axis — the raw material for consensus tags.
     """
     B = q_pad.shape[0]
     half = W // 2
-    brow = jnp.arange(B, dtype=jnp.int32)
 
     def seg_step(state, _):
         qoff, toff, dist, matches, alen, active = state
@@ -255,14 +312,32 @@ def extend_direction(q_pad: jnp.ndarray, t_pad: jnp.ndarray,
         slack = max(1, S // 4)
         active2 = (ok & (r_end >= seg_q - slack) & (r_end >= 1)
                    & (qoff2 < qlen) & (toff2 < tlen))
-        return (qoff2, toff2, dist2, m2, a2, active2), None
+        ys = None
+        if collect_ops:
+            ops, qi, tj, ncols = traceback_ops(moves, r_end, w_end, W)
+            ys = (ops, qi, tj, jnp.where(ok, ncols, 0), qoff, toff, ok)
+        return (qoff2, toff2, dist2, m2, a2, active2), ys
 
     zeros = jnp.zeros((B,), jnp.int32)
     init = (zeros, zeros, zeros, zeros, zeros,
             (qlen > 0) & (tlen > 0))
-    (qoff, toff, dist, matches, alen, _), _ = jax.lax.scan(
+    (qoff, toff, dist, matches, alen, _), ys = jax.lax.scan(
         seg_step, init, None, length=max_segs)
-    return ExtensionResult(qoff, toff, dist, matches, alen)
+    return ExtensionResult(qoff, toff, dist, matches, alen), ys
+
+
+@partial(jax.jit, static_argnames=("S", "W", "max_segs", "min_seg_identity"))
+def extend_direction(q_pad: jnp.ndarray, t_pad: jnp.ndarray,
+                     q0: jnp.ndarray, t0: jnp.ndarray,
+                     qlen: jnp.ndarray, tlen: jnp.ndarray,
+                     *, S: int = C.ALIGN_SEGMENT, W: int = C.ALIGN_BAND,
+                     max_segs: int = 64,
+                     min_seg_identity: float = C.MIN_SEGMENT_IDENTITY
+                     ) -> ExtensionResult:
+    res, _ = _extend_direction_impl(
+        q_pad, t_pad, q0, t0, qlen, tlen, S=S, W=W, max_segs=max_segs,
+        min_seg_identity=min_seg_identity, collect_ops=False)
+    return res
 
 
 class PairAlignment(NamedTuple):
@@ -278,22 +353,10 @@ class PairAlignment(NamedTuple):
     identity: jnp.ndarray  # float32 percent
 
 
-@partial(jax.jit, static_argnames=("S", "W", "max_segs", "min_seg_identity"))
-def extend_pair_batch(q: jnp.ndarray, t: jnp.ndarray,
-                      qlen: jnp.ndarray, tlen: jnp.ndarray,
-                      qseed: jnp.ndarray, tseed: jnp.ndarray,
-                      *, S: int = C.ALIGN_SEGMENT, W: int = C.ALIGN_BAND,
-                      max_segs: int = 64,
-                      min_seg_identity: float = C.MIN_SEGMENT_IDENTITY
-                      ) -> PairAlignment:
-    """Extend candidate seeds both directions (SURVEY.md §3.1 HOT LOOP 2).
-
-    q: uint8 [B, Lq] queries in scanned orientation; t: uint8 [B, Lt] targets
-    (forward volume orientation); seeds from the DDF scan.
-    """
+def _pair_batch_impl(q, t, qlen, tlen, qseed, tseed, *, S, W, max_segs,
+                     min_seg_identity, collect_ops):
     B, Lq = q.shape
     Lt = t.shape[1]
-    half = W // 2
 
     def pad(a, extra, sentinel):
         out = jnp.full((B, a.shape[1] + extra), sentinel, dtype=a.dtype)
@@ -310,20 +373,62 @@ def extend_pair_batch(q: jnp.ndarray, t: jnp.ndarray,
     q_rev = pad(jnp.flip(qm, axis=1), S, Q_SENTINEL)
     t_rev = pad(jnp.flip(tm, axis=1), S + W, T_SENTINEL)
 
-    right = extend_direction(q_fwd, t_fwd, qseed, tseed,
-                             qlen - qseed, tlen - tseed,
-                             S=S, W=W, max_segs=max_segs,
-                             min_seg_identity=min_seg_identity)
-    left = extend_direction(q_rev, t_rev, Lq - qseed, Lt - tseed,
-                            qseed, tseed,
-                            S=S, W=W, max_segs=max_segs,
-                            min_seg_identity=min_seg_identity)
+    right, right_ys = _extend_direction_impl(
+        q_fwd, t_fwd, qseed, tseed, qlen - qseed, tlen - tseed,
+        S=S, W=W, max_segs=max_segs, min_seg_identity=min_seg_identity,
+        collect_ops=collect_ops)
+    left, left_ys = _extend_direction_impl(
+        q_rev, t_rev, Lq - qseed, Lt - tseed, qseed, tseed,
+        S=S, W=W, max_segs=max_segs, min_seg_identity=min_seg_identity,
+        collect_ops=collect_ops)
 
     matches = left.matches + right.matches
     alen = left.align_len + right.align_len
     identity = 100.0 * matches / jnp.maximum(alen, 1)
-    return PairAlignment(
+    pa = PairAlignment(
         qbeg=qseed - left.q_adv, qend=qseed + right.q_adv,
         tbeg=tseed - left.t_adv, tend=tseed + right.t_adv,
         dist=left.dist + right.dist, matches=matches, align_len=alen,
         identity=identity.astype(jnp.float32))
+    return pa, right_ys, left_ys
+
+
+@partial(jax.jit, static_argnames=("S", "W", "max_segs", "min_seg_identity"))
+def extend_pair_batch(q: jnp.ndarray, t: jnp.ndarray,
+                      qlen: jnp.ndarray, tlen: jnp.ndarray,
+                      qseed: jnp.ndarray, tseed: jnp.ndarray,
+                      *, S: int = C.ALIGN_SEGMENT, W: int = C.ALIGN_BAND,
+                      max_segs: int = 64,
+                      min_seg_identity: float = C.MIN_SEGMENT_IDENTITY
+                      ) -> PairAlignment:
+    """Extend candidate seeds both directions (SURVEY.md §3.1 HOT LOOP 2).
+
+    q: uint8 [B, Lq] queries in scanned orientation; t: uint8 [B, Lt] targets
+    (forward volume orientation); seeds from the DDF scan.
+    """
+    pa, _, _ = _pair_batch_impl(q, t, qlen, tlen, qseed, tseed, S=S, W=W,
+                                max_segs=max_segs,
+                                min_seg_identity=min_seg_identity,
+                                collect_ops=False)
+    return pa
+
+
+@partial(jax.jit, static_argnames=("S", "W", "max_segs", "min_seg_identity"))
+def extend_pair_batch_with_ops(q: jnp.ndarray, t: jnp.ndarray,
+                               qlen: jnp.ndarray, tlen: jnp.ndarray,
+                               qseed: jnp.ndarray, tseed: jnp.ndarray,
+                               *, S: int = C.ALIGN_SEGMENT,
+                               W: int = C.ALIGN_BAND, max_segs: int = 64,
+                               min_seg_identity: float = C.MIN_SEGMENT_IDENTITY
+                               ):
+    """extend_pair_batch + per-segment op tapes for consensus (mecat2cns).
+
+    Returns (PairAlignment, right_tapes, left_tapes); each tapes tuple is
+    (ops[max_segs,B,MAXC], qi, tj, n_cols[max_segs,B], qoff_before,
+    toff_before, applied[max_segs,B]) in the respective direction's local
+    coordinates (left direction: positions in the REVERSED prefixes).
+    """
+    return _pair_batch_impl(q, t, qlen, tlen, qseed, tseed, S=S, W=W,
+                            max_segs=max_segs,
+                            min_seg_identity=min_seg_identity,
+                            collect_ops=True)

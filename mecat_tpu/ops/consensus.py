@@ -1,0 +1,164 @@
+"""Pile consensus: alignment op tapes → per-position tags → corrected read.
+
+Counterpart of the reference's tag-voting correction (SURVEY.md §3.2,
+``src/mecat2cns/mecat_correction.*`` / ``dw.cpp`` — unverified, mount empty).
+The reference walks each support's alignment emitting per-template-position
+"tags" (match base / insertion / deletion) into a CnsTable, then majority-
+votes.  Here the alignments come from the batched device aligner
+(ops/align.extend_pair_batch_with_ops); this module turns the op tapes into
+(position, delta, base) tags — falcon-sense-style, with delta indexing
+inserted bases after a template position — and votes with vectorised
+bincount/argmax.  base code 4 = deletion (gap vote).
+
+The tag→vote stage is host NumPy for now (it is a tiny fraction of the
+compute next to the DP); kernelising it is a later perf-pass item.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from .. import constants as C
+from .align import MOVE_HORIZ, MOVE_MATCH, MOVE_MISMATCH, MOVE_VERT
+
+GAP = 4  # vote code for deletion
+
+
+def tapes_to_columns(right_tapes, left_tapes, qseed, tseed, n_pairs=None):
+    """Device op tapes (both directions) → forward-ordered column lists.
+
+    Returns a list (one per pair) of (ops, qpos, tpos) int32 arrays in
+    template-forward order.  qpos/tpos are absolute positions in the oriented
+    support / forward template.  For insertions (MOVE_VERT) tpos is a
+    placeholder (the anchor is recomputed positionally by columns_to_tags).
+    """
+    out = []
+    r_ops, r_qi, r_tj, r_n, r_qo, r_to, r_ok = [np.asarray(x)
+                                                for x in right_tapes]
+    l_ops, l_qi, l_tj, l_n, l_qo, l_to, l_ok = [np.asarray(x)
+                                                for x in left_tapes]
+    G, B, MAXC = r_ops.shape
+    qseed = np.asarray(qseed)
+    tseed = np.asarray(tseed)
+    n_pairs = B if n_pairs is None else n_pairs
+    for b in range(n_pairs):
+        chunks = []
+        # left direction: reversed-prefix coords; later segments are further
+        # left on the template, and within a segment the tape is reversed.
+        for g in range(G - 1, -1, -1):
+            if not l_ok[g, b] or l_n[g, b] <= 0:
+                continue
+            n = int(l_n[g, b])
+            sl = slice(MAXC - n, MAXC)
+            ops = l_ops[g, b, sl][::-1].astype(np.int32)
+            qi = l_qi[g, b, sl][::-1]
+            tj = l_tj[g, b, sl][::-1]
+            qpos = np.where(qi >= 0,
+                            int(qseed[b]) - 1 - (int(l_qo[g, b]) + qi), -1)
+            tpos = int(tseed[b]) - 1 - (int(l_to[g, b]) + tj)
+            chunks.append((ops, qpos, tpos))
+        for g in range(G):
+            if not r_ok[g, b] or r_n[g, b] <= 0:
+                continue
+            n = int(r_n[g, b])
+            sl = slice(MAXC - n, MAXC)
+            ops = r_ops[g, b, sl].astype(np.int32)
+            qi = r_qi[g, b, sl]
+            tj = r_tj[g, b, sl]
+            qpos = np.where(qi >= 0,
+                            int(qseed[b]) + int(r_qo[g, b]) + qi, -1)
+            tpos = int(tseed[b]) + int(r_to[g, b]) + tj
+            chunks.append((ops, qpos, tpos))
+        if chunks:
+            ops = np.concatenate([c[0] for c in chunks])
+            qpos = np.concatenate([c[1] for c in chunks])
+            tpos = np.concatenate([c[2] for c in chunks])
+        else:
+            ops = qpos = tpos = np.zeros(0, np.int32)
+        out.append((ops, qpos, tpos))
+    return out
+
+
+def columns_to_tags(ops: np.ndarray, qpos: np.ndarray, tpos: np.ndarray,
+                    support: np.ndarray, tlen: int,
+                    max_delta: int = C.MAX_INS_DELTA):
+    """One support's forward-ordered columns → (pos, delta, base) tag arrays.
+
+    support: oriented support bases (uint8 codes) for base lookup.
+    Tags: M/X → (tpos, 0, q base); deletion → (tpos, 0, GAP);
+    insertion run after template position p → (p, 1..max_delta, q base).
+    """
+    n = len(ops)
+    if n == 0:
+        z = np.zeros(0, np.int32)
+        return z, z, z
+    is_ins = ops == MOVE_VERT
+    arange = np.arange(n)
+    last_t = np.maximum.accumulate(np.where(~is_ins, arange, -1))
+    anchor_idx = np.where(is_ins, last_t, arange)
+    pos = np.where(is_ins & (last_t >= 0), tpos[anchor_idx], tpos)
+    delta = np.where(is_ins, arange - anchor_idx, 0)
+    base = np.where(ops == MOVE_HORIZ, GAP,
+                    support[np.clip(qpos, 0, len(support) - 1)])
+    keep = ((pos >= 0) & (pos < tlen) & (delta <= max_delta)
+            & ~(is_ins & (last_t < 0)))
+    return (pos[keep].astype(np.int32), delta[keep].astype(np.int32),
+            base[keep].astype(np.int32))
+
+
+class CnsTable:
+    """Per-template tag accumulator: counts[L, max_delta+1, 5] + coverage."""
+
+    def __init__(self, template: np.ndarray,
+                 max_delta: int = C.MAX_INS_DELTA):
+        self.template = template
+        self.L = len(template)
+        self.max_delta = max_delta
+        self.counts = np.zeros((self.L, max_delta + 1, 5), dtype=np.int32)
+        self.coverage = np.zeros(self.L, dtype=np.int32)
+
+    def add_tags(self, pos, delta, base, span: Tuple[int, int]):
+        np.add.at(self.counts, (pos, delta, base), 1)
+        a, b = max(0, span[0]), min(self.L, span[1])
+        if b > a:
+            self.coverage[a:b] += 1
+
+    def add_template_votes(self):
+        """The template read votes for itself at every position."""
+        self.counts[np.arange(self.L), 0, self.template] += 1
+
+    def call(self, min_coverage: int = C.DEFAULT_MIN_COVERAGE,
+             min_length: int = C.DEFAULT_MIN_CORRECTED_LENGTH
+             ) -> List[np.ndarray]:
+        """Majority-vote a corrected sequence; split at low-coverage points.
+
+        Coverage counts supports only (not the template's self-vote).
+        TODO(ref): exact reference split rule unknown (mount empty).
+        """
+        cov_ok = self.coverage >= min_coverage
+        base_win = np.argmax(self.counts[:, 0, :], axis=1)       # [L]
+        # insertion slots: emitted when the majority of spanning supports
+        # have an inserted base there; a run stops at the first non-emitted
+        # delta (prefix rule)
+        ins_tot = self.counts[:, 1:, :4].sum(axis=2)             # [L, D]
+        ins_win = np.argmax(self.counts[:, 1:, :4], axis=2)      # [L, D]
+        ins_emit = np.cumprod(
+            ins_tot * 2 > np.maximum(self.coverage, 1)[:, None],
+            axis=1).astype(bool)
+
+        D1 = self.counts.shape[1]
+        emit = np.full((self.L, D1), -1, dtype=np.int32)
+        emit[:, 0] = np.where(cov_ok & (base_win != GAP), base_win, -1)
+        emit[:, 1:] = np.where(cov_ok[:, None] & ins_emit, ins_win, -1)
+
+        # split at low-coverage positions: segment id = running count of gaps
+        seg_id = np.repeat(np.cumsum(~cov_ok), D1)
+        flat = emit.reshape(-1)
+        mask = flat >= 0
+        bases = flat[mask].astype(np.uint8)
+        segs = seg_id[mask]
+        if len(bases) == 0:
+            return []
+        cut = np.nonzero(np.diff(segs))[0] + 1
+        return [s for s in np.split(bases, cut) if len(s) >= min_length]

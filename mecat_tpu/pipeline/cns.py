@@ -1,0 +1,221 @@
+"""mecat2cns equivalent: pile-consensus error correction.
+
+Counterpart of the reference tool (SURVEY.md §2.1 component 4, call stack
+§3.2; reference ``src/mecat2cns/*`` — unverified, mount empty).  Structure:
+
+1. parse candidates (``-i 0``, from mecat2pw -j 0) or M4 overlaps (``-i 1``),
+   symmetrised so every read collects supports from both record sides
+   (the reference's partition_candidates/partition_m4 role);
+2. partition templates into batches (``-p``);
+3. per batch: cap supports per template by score, align every
+   (support → template) pair with the batched banded aligner collecting op
+   tapes (device), convert tapes to (pos, delta, base) tags, vote per
+   template (CnsTable), split at low coverage, emit corrected FASTA.
+
+Corrected read headers are ``{name}_{k}`` for the k-th segment of a split
+template (TODO(ref): reference header scheme unverified).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..io.fasta import format_fasta
+from ..io.m4 import read_candidates, read_m4
+from ..io.packed_db import PackedDB, revcomp
+from ..ops.align import extend_pair_batch_with_ops
+from ..ops.consensus import CnsTable, columns_to_tags, tapes_to_columns
+from ..utils.log import get_logger
+from .common import bucket_length, max_segs_for, pad_to_batch
+
+log = get_logger("cns")
+
+
+@dataclass
+class CnsOptions:
+    """CLI-mirroring options (reference mecat2cns flags, SURVEY.md App. A)."""
+
+    input_type: int = 0                      # -i: 0 candidates, 1 M4
+    tech: int = C.TECH_PACBIO                # -x
+    partition_size: int = C.DEFAULT_PARTITION_BATCH       # -p
+    min_mapping_ratio: float = C.DEFAULT_MIN_MAPPING_RATIO  # -r
+    min_align_size: int = C.DEFAULT_CNS_MIN_OVERLAP       # -a
+    min_coverage: int = C.DEFAULT_MIN_COVERAGE            # -c
+    min_length: int = C.DEFAULT_MIN_CORRECTED_LENGTH      # -l
+    max_supports: int = C.MAX_SUPPORTS_PER_TEMPLATE
+    align_segment: int = C.ALIGN_SEGMENT
+    align_band: int = C.ALIGN_BAND
+    extend_batch: int = 128
+    min_identity: float = C.MIN_OVERLAP_IDENTITY
+
+
+@dataclass
+class CnsStats:
+    templates: int = 0
+    supports_aligned: int = 0
+    corrected_reads: int = 0
+    corrected_bases: int = 0
+    seconds: float = 0.0
+
+
+# a support entry: (support_read, orientation, support_seed, template_seed,
+#                   score)
+Support = Tuple[int, int, int, int, int]
+
+
+def load_supports(path: str, db: PackedDB, input_type: int
+                  ) -> Dict[int, List[Support]]:
+    """Parse candidate/M4 records into per-template support lists (both sides).
+
+    Seeds are (support position in oriented support, template position on the
+    forward template).
+    """
+    by_template: Dict[int, List[Support]] = {}
+
+    def add(t, s, sdir, spos, tpos, score):
+        by_template.setdefault(t, []).append((s, sdir, spos, tpos, score))
+
+    if input_type == 0:
+        for r in read_candidates(path):
+            q, s = r.qid - 1, r.sid - 1
+            # record: qdir-oriented q aligns forward s at (qext, sext)
+            add(s, q, r.qdir, r.qext, r.sext, r.score)
+            # symmetric: template q (fwd).  If qdir=1 the relative
+            # orientation is reversed: support is rc(s); flip both seeds.
+            if r.qdir == 0:
+                add(q, s, 0, r.sext, r.qext, r.score)
+            else:
+                add(q, s, 1, r.ssize - 1 - r.sext, r.qsize - 1 - r.qext,
+                    r.score)
+    else:
+        for r in read_m4(path):
+            q, s = r.qid - 1, r.sid - 1
+            qmid = (r.qstart + r.qend) // 2
+            smid = (r.sstart + r.send) // 2
+            if r.sstrand == 0:
+                add(s, q, 0, qmid, smid, r.score)
+                add(q, s, 0, smid, qmid, r.score)
+            else:
+                # q fwd aligns rc(s) ⇔ rc(q) aligns s fwd
+                add(s, q, 1, r.qsize - 1 - qmid, smid, r.score)
+                add(q, s, 1, r.ssize - 1 - smid, qmid, r.score)
+    return by_template
+
+
+def _oriented(db: PackedDB, rid: int, direction: int) -> np.ndarray:
+    r = db.read(rid)
+    return revcomp(r) if direction else r
+
+
+def correct_batch(db: PackedDB, templates: List[int],
+                  by_template: Dict[int, List[Support]], opts: CnsOptions,
+                  stats: CnsStats) -> List[Tuple[str, np.ndarray]]:
+    """Align supports and vote consensus for one partition of templates."""
+    # build the pair list, grouped by template
+    pairs = []  # (template, support, dir, spos, tpos)
+    for t in templates:
+        sups = by_template.get(t, [])
+        sups = sorted(sups, key=lambda x: -x[4])[:opts.max_supports]
+        for s, sdir, spos, tpos, score in sups:
+            pairs.append((t, s, sdir, spos, tpos))
+    if not pairs:
+        return []
+
+    L_t = bucket_length(max(int(db.lengths[t]) for t in templates))
+    L_s = bucket_length(max(int(db.lengths[p[1]]) for p in pairs))
+    S, W = opts.align_segment, opts.align_band
+    msegs = max_segs_for(max(L_t, L_s), S)
+    P = opts.extend_batch
+
+    tables: Dict[int, CnsTable] = {}
+    for ofs in range(0, len(pairs), P):
+        chunk = pairs[ofs:ofs + P]
+        n = len(chunk)
+        q_b = np.zeros((n, L_s), dtype=np.uint8)
+        t_b = np.zeros((n, L_t), dtype=np.uint8)
+        qlen = np.zeros(n, np.int32)
+        tlen = np.zeros(n, np.int32)
+        qs = np.zeros(n, np.int32)
+        ts = np.zeros(n, np.int32)
+        sup_bases = []
+        for i, (t, s, sdir, spos, tpos) in enumerate(chunk):
+            sb = _oriented(db, s, sdir)[:L_s]
+            tb = db.read(t)[:L_t]
+            q_b[i, :len(sb)] = sb
+            t_b[i, :len(tb)] = tb
+            qlen[i], tlen[i] = len(sb), len(tb)
+            qs[i] = min(max(spos, 0), len(sb) - 1)
+            ts[i] = min(max(tpos, 0), len(tb) - 1)
+            sup_bases.append(sb)
+        q_p, t_p, qlen_p, tlen_p, qs_p, ts_p = pad_to_batch(
+            [q_b, t_b, qlen, tlen, qs, ts], P)
+        pa, right_t, left_t = extend_pair_batch_with_ops(
+            jnp.asarray(q_p), jnp.asarray(t_p), jnp.asarray(qlen_p),
+            jnp.asarray(tlen_p), jnp.asarray(qs_p), jnp.asarray(ts_p),
+            S=S, W=W, max_segs=msegs)
+        stats.supports_aligned += n
+
+        cols = tapes_to_columns(right_t, left_t, qs_p, ts_p, n_pairs=n)
+        ident = np.asarray(pa.identity)[:n]
+        tbeg = np.asarray(pa.tbeg)[:n]
+        tend = np.asarray(pa.tend)[:n]
+        qbeg = np.asarray(pa.qbeg)[:n]
+        qend = np.asarray(pa.qend)[:n]
+        for i, (t, s, sdir, spos, tpos) in enumerate(chunk):
+            span = int(tend[i] - tbeg[i])
+            ratio = (qend[i] - qbeg[i]) / max(1, qlen[i])
+            if (ident[i] < opts.min_identity or span < opts.min_align_size
+                    or ratio < opts.min_mapping_ratio):
+                continue
+            if t not in tables:
+                tables[t] = CnsTable(db.read(t))
+            pos, delta, base = columns_to_tags(
+                *cols[i], support=sup_bases[i], tlen=int(db.lengths[t]))
+            tables[t].add_tags(pos, delta, base,
+                               (int(tbeg[i]), int(tend[i])))
+
+    out: List[Tuple[str, np.ndarray]] = []
+    for t in templates:
+        stats.templates += 1
+        table = tables.get(t)
+        if table is None:
+            continue
+        table.add_template_votes()
+        segs = table.call(min_coverage=opts.min_coverage,
+                          min_length=opts.min_length)
+        for k, seg in enumerate(segs):
+            out.append((f"{db.name(t)}_{k}", seg))
+            stats.corrected_reads += 1
+            stats.corrected_bases += len(seg)
+    return out
+
+
+def run_cns(input_path: str, reads_path: str, out_path: str,
+            opts: Optional[CnsOptions] = None,
+            db: Optional[PackedDB] = None) -> CnsStats:
+    opts = opts or CnsOptions()
+    t0 = time.time()
+    if db is None:
+        db = PackedDB.from_fasta(reads_path)
+    stats = CnsStats()
+    by_template = load_supports(input_path, db, opts.input_type)
+    templates = sorted(by_template)
+    log.info("cns: %d reads, %d templates with supports", db.n_reads,
+             len(templates))
+    with open(out_path, "wb") as fh:
+        for ofs in range(0, len(templates), opts.partition_size):
+            batch = templates[ofs:ofs + opts.partition_size]
+            for name, seg in correct_batch(db, batch, by_template, opts,
+                                           stats):
+                fh.write(format_fasta(name, seg))
+            log.info("cns: %d/%d templates, %d corrected reads",
+                     min(ofs + opts.partition_size, len(templates)),
+                     len(templates), stats.corrected_reads)
+    stats.seconds = time.time() - t0
+    return stats

@@ -1,0 +1,166 @@
+"""mecat2cns tests: tag voting units + end-to-end identity improvement."""
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from mecat_tpu.io.fasta import write_fasta
+from mecat_tpu.ops.consensus import GAP, CnsTable, columns_to_tags
+from mecat_tpu.ops.align import MOVE_HORIZ, MOVE_MATCH, MOVE_MISMATCH, MOVE_VERT
+from mecat_tpu.pipeline.cns import CnsOptions, run_cns
+from mecat_tpu.pipeline.pw import PwOptions, run_pw
+from mecat_tpu.utils.sim import random_genome, simulate_reads
+
+PW_OPTS = dict(num_candidates=20, min_align_size=500, kmer_size=8,
+               scan_stride=4, scan_batch=16, extend_batch=64,
+               align_segment=128, align_band=64, diag_bin=128)
+CNS_OPTS = dict(min_align_size=500, min_coverage=4, min_length=500,
+                min_mapping_ratio=0.3, align_segment=128, align_band=64,
+                extend_batch=64, min_identity=65.0)
+
+
+# ---------------------------------------------------------------------------
+# unit: columns_to_tags
+# ---------------------------------------------------------------------------
+def test_columns_to_tags_basic():
+    # template TTT vs support: match T, mismatch A, deletion, then 2 inserts
+    ops = np.array([MOVE_MATCH, MOVE_MISMATCH, MOVE_HORIZ, MOVE_VERT,
+                    MOVE_VERT], np.int32)
+    qpos = np.array([0, 1, -1, 2, 3], np.int32)
+    tpos = np.array([0, 1, 2, 3, 3], np.int32)
+    support = np.array([3, 0, 1, 2], np.uint8)  # T A C G
+    pos, delta, base = columns_to_tags(ops, qpos, tpos, support, tlen=10)
+    got = set(zip(pos.tolist(), delta.tolist(), base.tolist()))
+    assert (0, 0, 3) in got          # match T at 0
+    assert (1, 0, 0) in got          # mismatch votes A at 1
+    assert (2, 0, GAP) in got        # deletion at 2
+    # insertions anchored at the last template column (the deletion at 2)
+    assert (2, 1, 1) in got and (2, 2, 2) in got
+
+
+def test_columns_to_tags_leading_insertion_dropped():
+    ops = np.array([MOVE_VERT, MOVE_MATCH], np.int32)
+    qpos = np.array([0, 1], np.int32)
+    tpos = np.array([0, 0], np.int32)
+    support = np.array([1, 2], np.uint8)
+    pos, delta, base = columns_to_tags(ops, qpos, tpos, support, tlen=5)
+    assert list(zip(pos.tolist(), delta.tolist(), base.tolist())) == [(0, 0, 2)]
+
+
+# ---------------------------------------------------------------------------
+# unit: CnsTable voting
+# ---------------------------------------------------------------------------
+def test_cns_table_majority_and_split():
+    template = np.array([0, 1, 2, 3, 0, 1], np.uint8)  # ACGTAC
+    table = CnsTable(template)
+    # 5 supports vote C at position 1->A (correcting), full span
+    for _ in range(5):
+        pos = np.arange(6, dtype=np.int32)
+        delta = np.zeros(6, np.int32)
+        base = np.array([0, 0, 2, 3, 0, 1], np.int32)  # A at pos1 (was C)
+        table.add_tags(pos, delta, base, (0, 6))
+    table.add_template_votes()
+    segs = table.call(min_coverage=4, min_length=3)
+    assert len(segs) == 1
+    assert segs[0].tolist() == [0, 0, 2, 3, 0, 1]
+
+
+def test_cns_table_deletion_and_insertion():
+    template = np.array([0, 1, 2, 3], np.uint8)
+    table = CnsTable(template)
+    for _ in range(6):
+        # vote: pos0 A, pos1 GAP (delete), pos1 insert G after, pos2 G, pos3 T
+        pos = np.array([0, 1, 1, 2, 3], np.int32)
+        delta = np.array([0, 0, 1, 0, 0], np.int32)
+        base = np.array([0, GAP, 2, 2, 3], np.int32)
+        table.add_tags(pos, delta, base, (0, 4))
+    table.add_template_votes()
+    segs = table.call(min_coverage=4, min_length=2)
+    assert len(segs) == 1
+    # A, (C deleted), G inserted, G, T
+    assert segs[0].tolist() == [0, 2, 2, 3]
+
+
+def test_cns_table_low_coverage_split():
+    template = np.zeros(20, np.uint8)
+    table = CnsTable(template)
+    for _ in range(5):
+        pos = np.concatenate([np.arange(8), np.arange(12, 20)]).astype(np.int32)
+        delta = np.zeros(16, np.int32)
+        base = np.zeros(16, np.int32)
+        table.add_tags(pos, delta, base, (0, 8))
+        table.coverage[12:20] += 1  # second span
+    table.add_template_votes()
+    segs = table.call(min_coverage=4, min_length=5)
+    assert len(segs) == 2
+    assert all(len(s) == 8 for s in segs)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: corrected reads beat raw reads in identity to the true genome
+# ---------------------------------------------------------------------------
+def identity_to_genome(seq, genome):
+    """Best local identity of seq against genome via the package aligner."""
+    from mecat_tpu.ops.align import extend_pair_batch, Q_SENTINEL, T_SENTINEL
+    L = max(1024, (len(seq) + 1023) // 1024 * 1024)
+    Lg = (len(genome) + 1023) // 1024 * 1024
+    q = np.full((1, L), Q_SENTINEL, np.uint8)
+    q[0, :len(seq)] = seq
+    t = np.full((1, Lg), T_SENTINEL, np.uint8)
+    t[0, :len(genome)] = genome
+    # brute-force seed: exact 16-mer match
+    k = 16
+    for qoff in range(0, len(seq) - k, 97):
+        probe = seq[qoff:qoff + k].tobytes()
+        idx = genome.tobytes().find(probe)
+        if idx >= 0:
+            res = extend_pair_batch(
+                jnp.asarray(q), jnp.asarray(t),
+                jnp.asarray([len(seq)], jnp.int32),
+                jnp.asarray([len(genome)], jnp.int32),
+                jnp.asarray([qoff], jnp.int32), jnp.asarray([idx], jnp.int32),
+                S=128, W=64, max_segs=40)
+            if int(res.qend[0] - res.qbeg[0]) > 0.8 * len(seq):
+                return float(res.identity[0])
+    return 0.0
+
+
+@pytest.fixture(scope="module")
+def cns_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cns")
+    genome = random_genome(8000, seed=71)
+    # 30x coverage so most positions have >=4 supports
+    db, truths = simulate_reads(genome, 60, mean_len=2500, min_len=1500,
+                                seed=72, error_rate=0.08)
+    reads = str(tmp / "reads.fasta")
+    write_fasta(reads, [(db.name(i), db.read(i)) for i in range(db.n_reads)])
+    return tmp, reads, db, truths, genome
+
+
+@pytest.mark.parametrize("input_type", [0, 1])
+def test_cns_e2e(cns_setup, input_type):
+    tmp, reads, db, truths, genome = cns_setup
+    suffix = f"i{input_type}"
+    ovl = str(tmp / f"ovl.{suffix}")
+    run_pw(reads, ovl, str(tmp / f"wrk{suffix}"),
+           PwOptions(task=0 if input_type == 0 else 1, **PW_OPTS))
+    corrected = str(tmp / f"corrected.{suffix}.fasta")
+    stats = run_cns(ovl, reads, corrected,
+                    CnsOptions(input_type=input_type, **CNS_OPTS))
+    assert stats.corrected_reads > 0
+
+    from mecat_tpu.io.packed_db import PackedDB
+    cdb = PackedDB.from_fasta(corrected)
+    # a decent fraction of reads should survive correction
+    assert cdb.n_reads >= db.n_reads * 0.5
+
+    raw_idents, cor_idents = [], []
+    for i in range(min(8, cdb.n_reads)):
+        cor_idents.append(identity_to_genome(cdb.read(i), genome))
+    for i in range(min(8, db.n_reads)):
+        raw_idents.append(identity_to_genome(db.read(i), genome))
+    raw_m = np.mean([x for x in raw_idents if x > 0])
+    cor_m = np.mean([x for x in cor_idents if x > 0])
+    # property test (SURVEY.md §4): consensus must improve identity a lot
+    assert cor_m > raw_m + 4, (raw_m, cor_m)
+    assert cor_m > 96.0, cor_m
