@@ -62,6 +62,7 @@ def probe_hits(
     stride: int = C.KMER_SCAN_STRIDE,
     max_occ: int = C.MAX_OCC_PER_KMER,
     diag_bin: int = C.DDF_DIAG_BIN,
+    diag_shift: int = _DIAG_SHIFT,
     code_lo: int | jnp.ndarray = 0,
     code_hi: int | jnp.ndarray = 1 << 30,
 ):
@@ -91,7 +92,7 @@ def probe_hits(
                              (B, Q, max_occ)).reshape(B, H)
     hvalid = hit_valid.reshape(B, H)
     hvalid &= rid != self_id[:, None]
-    dbin = ((hqpos - toff + _DIAG_SHIFT) // diag_bin).astype(jnp.int32)
+    dbin = ((hqpos - toff + diag_shift) // diag_bin).astype(jnp.int32)
     return rid, dbin, hqpos, toff, hvalid
 
 
@@ -143,7 +144,7 @@ def score_hits(rid, dbin, hqpos, toff, hvalid, *, num_candidates: int
 
 
 @partial(jax.jit, static_argnames=("k", "stride", "max_occ", "num_candidates",
-                                   "diag_bin"))
+                                   "diag_bin", "diag_shift"))
 def scan_candidates(
     bases: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -159,11 +160,12 @@ def scan_candidates(
     max_occ: int = C.MAX_OCC_PER_KMER,
     num_candidates: int = C.DEFAULT_NUM_CANDIDATES,
     diag_bin: int = C.DDF_DIAG_BIN,
+    diag_shift: int = _DIAG_SHIFT,
 ) -> Candidates:
     """Single-device candidate scan: probe_hits → score_hits."""
     rid, dbin, hqpos, toff, hvalid = probe_hits(
         bases, lengths, offsets, positions, read_starts, read_lengths,
         cutoff, self_id, k=k, stride=stride, max_occ=max_occ,
-        diag_bin=diag_bin)
+        diag_bin=diag_bin, diag_shift=diag_shift)
     return score_hits(rid, dbin, hqpos, toff, hvalid,
                       num_candidates=num_candidates)

@@ -1,0 +1,229 @@
+"""mecat2ref equivalent: read-to-reference mapping.
+
+Counterpart of the reference tool (SURVEY.md §2.1 component 3, call stack
+§3.3; reference ``src/mecat2ref/mecat2ref.cpp`` — unverified, mount empty).
+The genome (all contigs) is packed and k-mer-indexed once; reads stream
+through the same DDF scan as mecat2pw but with a genome-scale diagonal
+shift, and the top candidate loci are extended with the banded aligner
+collecting op tapes so SAM CIGARs are exact.  Extension works on a genome
+window around each seed (|window| ~ 2|read|) rather than whole contigs, so
+batch shapes stay read-sized no matter how large the genome is.
+
+Output: SAM (with soft clips, FLAG 0/16/4) or M4-format lines (``qid`` =
+read, ``sid`` = contig), selected by mecat2ref's output-format flag.
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..index.kmer_index import build_index
+from ..io.m4 import M4Record
+from ..io.packed_db import PackedDB, revcomp
+from ..io.sam import cigar_from_ops, sam_header, sam_line, sam_unmapped
+from ..ops.align import extend_pair_batch_with_ops
+from ..ops.consensus import tapes_to_columns
+from ..ops.ddf import scan_candidates
+from ..utils.log import get_logger
+from .common import bucket_length, max_segs_for, oriented_batch, pad_to_batch
+
+log = get_logger("ref")
+
+#: diagonal shift covering genome-scale target offsets (contigs < 128 Mb;
+#: larger genomes are handled contig-by-contig upstream).
+GENOME_DIAG_SHIFT = 1 << 27
+
+
+@dataclass
+class RefOptions:
+    """CLI-mirroring options (reference mecat2ref flags, SURVEY.md App. A)."""
+
+    output_format: str = "sam"         # "sam" | "m4"
+    num_candidates: int = 12           # candidate loci per strand
+    num_extend: int = 4                # loci extended per strand
+    min_align_size: int = C.DEFAULT_MIN_ALIGN_SIZE
+    min_identity: float = C.MIN_OVERLAP_IDENTITY
+    kmer_size: int = C.KMER_SIZE
+    scan_stride: int = C.KMER_SCAN_STRIDE
+    max_occ: int = C.MAX_OCC_PER_KMER
+    diag_bin: int = C.DDF_DIAG_BIN
+    scan_batch: int = C.DEFAULT_SCAN_BATCH
+    extend_batch: int = C.DEFAULT_EXTEND_BATCH
+    align_segment: int = C.ALIGN_SEGMENT
+    align_band: int = C.ALIGN_BAND
+
+
+@dataclass
+class RefStats:
+    reads: int = 0
+    mapped: int = 0
+    seconds: float = 0.0
+
+
+def _window(tseed: int, qlen: int, contig_len: int, L_win: int):
+    """Genome window [start, start+L_win) centred on the seed."""
+    start = max(0, min(int(tseed) - L_win // 2, contig_len - L_win))
+    start = max(0, start)
+    return start, min(L_win, contig_len - start)
+
+
+def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
+              opts: RefOptions, out_lines: List[str], stats: RefStats):
+    B = opts.scan_batch
+    L_q = bucket_length(max(int(db.lengths[r]) for r in read_ids))
+    fwd, rev, lens = oriented_batch(db, read_ids, L_q)
+    fwd_p, rev_p, lens_p = pad_to_batch([fwd, rev, lens], B)
+    no_self = np.full(B, -1, dtype=np.int32)
+
+    cands = {}
+    for strand, bases in ((0, fwd_p), (1, rev_p)):
+        cands[strand] = scan_candidates(
+            jnp.asarray(bases), jnp.asarray(lens_p), dev["offsets"],
+            dev["positions"], dev["read_starts"], dev["read_lengths"],
+            jnp.int32(idx.max_occ_cutoff), jnp.asarray(no_self),
+            k=opts.kmer_size, stride=opts.scan_stride, max_occ=opts.max_occ,
+            num_candidates=opts.num_candidates, diag_bin=opts.diag_bin,
+            diag_shift=GENOME_DIAG_SHIFT)
+
+    # build extension pair list: top loci per strand per read
+    L_win = min(2 * L_q + 1024, bucket_length(int(ref_db.lengths.max())))
+    pairs = []  # (row, strand, contig, win0, qseed, tseed_local, score)
+    for strand in (0, 1):
+        c = cands[strand]
+        tgt = np.asarray(c.target)
+        score = np.asarray(c.score)
+        qseed = np.asarray(c.qseed)
+        tseed = np.asarray(c.tseed)
+        valid = np.asarray(c.valid)
+        for row in range(len(read_ids)):
+            for j in range(min(opts.num_extend, tgt.shape[1])):
+                if not valid[row, j]:
+                    continue
+                contig = int(tgt[row, j])
+                clen = int(ref_db.lengths[contig])
+                win0, wlen = _window(int(tseed[row, j]), int(lens[row]),
+                                     clen, L_win)
+                pairs.append((row, strand, contig, win0,
+                              int(qseed[row, j]),
+                              int(tseed[row, j]) - win0, int(score[row, j]),
+                              wlen))
+
+    # extend in fixed-size batches, keep the best alignment per read
+    best = {}   # row -> (matches, payload)
+    second = {} # row -> matches of runner-up
+    P = opts.extend_batch
+    S, W = opts.align_segment, opts.align_band
+    msegs = max_segs_for(L_q, S)
+    oriented = {0: fwd, 1: rev}
+    for ofs in range(0, len(pairs), P):
+        chunk = pairs[ofs:ofs + P]
+        n = len(chunk)
+        q_b = np.zeros((n, L_q), np.uint8)
+        t_b = np.zeros((n, L_win), np.uint8)
+        qlen_b = np.zeros(n, np.int32)
+        tlen_b = np.zeros(n, np.int32)
+        qs_b = np.zeros(n, np.int32)
+        ts_b = np.zeros(n, np.int32)
+        for i, (row, strand, contig, win0, qs, ts, score, wlen) in enumerate(chunk):
+            q_b[i] = oriented[strand][row]
+            gstart = int(ref_db.starts[contig]) + win0
+            t_b[i, :wlen] = ref_db.codes[gstart:gstart + wlen]
+            qlen_b[i] = lens[row]
+            tlen_b[i] = wlen
+            qs_b[i] = min(max(qs, 0), max(int(lens[row]) - 1, 0))
+            ts_b[i] = min(max(ts, 0), max(wlen - 1, 0))
+        args = pad_to_batch([q_b, t_b, qlen_b, tlen_b, qs_b, ts_b], P)
+        pa, right_t, left_t = extend_pair_batch_with_ops(
+            *(jnp.asarray(a) for a in args), S=S, W=W, max_segs=msegs)
+        cols = tapes_to_columns(right_t, left_t, args[4], args[5], n_pairs=n)
+        ident = np.asarray(pa.identity)[:n]
+        matches = np.asarray(pa.matches)[:n]
+        qbeg = np.asarray(pa.qbeg)[:n]
+        qend = np.asarray(pa.qend)[:n]
+        tbeg = np.asarray(pa.tbeg)[:n]
+        tend = np.asarray(pa.tend)[:n]
+        for i, (row, strand, contig, win0, qs, ts, score, wlen) in enumerate(chunk):
+            span = min(int(qend[i] - qbeg[i]), int(tend[i] - tbeg[i]))
+            if span < opts.min_align_size or ident[i] < opts.min_identity:
+                continue
+            m = int(matches[i])
+            payload = (strand, contig, win0, int(qbeg[i]), int(qend[i]),
+                       int(tbeg[i]), int(tend[i]), float(ident[i]),
+                       int(score), cols[i][0])
+            if row not in best or m > best[row][0]:
+                if row in best:
+                    second[row] = best[row][0]
+                best[row] = (m, payload)
+            elif m > second.get(row, 0):
+                second[row] = m
+
+    # emit one record per read
+    for row, rid in enumerate(read_ids):
+        stats.reads += 1
+        qsize = int(db.lengths[rid])
+        name = db.name(rid)
+        if row not in best:
+            if opts.output_format == "sam":
+                out_lines.append(sam_unmapped(name, db.read(rid)))
+            continue
+        m, (strand, contig, win0, qb, qe, tb, te, ident, score, ops) = best[row]
+        stats.mapped += 1
+        uniq = m - second.get(row, 0)
+        mapq = max(0, min(60, int(60.0 * uniq / max(m, 1)) + 20)) if m else 0
+        gstart = win0 + tb
+        gend = win0 + te
+        if opts.output_format == "sam":
+            cigar = cigar_from_ops(np.asarray(ops), qb, qe, qsize)
+            seq = db.read(rid) if strand == 0 else revcomp(db.read(rid))
+            flag = 0 if strand == 0 else 16
+            out_lines.append(sam_line(
+                name, flag, ref_db.name(contig), gstart, mapq, cigar, seq,
+                tags=f"NM:i:{int((qe - qb) - m)}\tAS:i:{m}"))
+        else:
+            if strand == 0:
+                qs0, qe0 = qb, qe
+            else:
+                qs0, qe0 = qsize - qe, qsize - qb
+            out_lines.append(M4Record(
+                qid=rid + 1, sid=contig + 1, identity=ident, score=score,
+                qstrand=0, qstart=qs0, qend=qe0, qsize=qsize,
+                sstrand=strand, sstart=gstart, send=gend,
+                ssize=int(ref_db.lengths[contig])).format())
+
+
+def run_ref(reads_path: str, ref_path: str, out_path: str, wrk_dir: str,
+            opts: Optional[RefOptions] = None,
+            db: Optional[PackedDB] = None,
+            ref_db: Optional[PackedDB] = None) -> RefStats:
+    opts = opts or RefOptions()
+    os.makedirs(wrk_dir, exist_ok=True)
+    t0 = time.time()
+    db = db or PackedDB.from_fasta(reads_path)
+    ref_db = ref_db or PackedDB.from_fasta(ref_path)
+    stats = RefStats()
+    idx = build_index(ref_db.codes, ref_db.starts, ref_db.lengths,
+                      k=opts.kmer_size)
+    dev = idx.as_device_arrays()
+    log.info("ref: %d reads vs %d contigs (%d bases)", db.n_reads,
+             ref_db.n_reads, ref_db.total_bases)
+    with open(out_path, "w") as fh:
+        if opts.output_format == "sam":
+            fh.write(sam_header(
+                [(ref_db.name(i), int(ref_db.lengths[i]))
+                 for i in range(ref_db.n_reads)]))
+        for bs in range(0, db.n_reads, opts.scan_batch):
+            ids = list(range(bs, min(db.n_reads, bs + opts.scan_batch)))
+            lines: List[str] = []
+            map_batch(db, ids, ref_db, idx, dev, opts, lines, stats)
+            for ln in lines:
+                fh.write(ln + "\n")
+            log.info("ref: %d/%d reads, %d mapped", stats.reads, db.n_reads,
+                     stats.mapped)
+    stats.seconds = time.time() - t0
+    return stats
