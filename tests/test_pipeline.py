@@ -1,0 +1,69 @@
+"""correct+trim pipeline tests: extract, trim, full driver, resume."""
+import os
+
+import numpy as np
+import pytest
+
+from mecat_tpu.cli.extract_sequences import extract
+from mecat_tpu.io.fasta import iter_fasta, write_fasta
+from mecat_tpu.pipeline.trim import coverage_intervals
+from mecat_tpu.utils.sim import random_genome, simulate_reads
+
+PIPE_ARGS = ["-g", "8000", "-c", "20", "-a", "500", "-n", "20",
+             "--min-coverage", "3", "--min-length", "500",
+             "--kmer-size", "8", "--scan-stride", "4", "--scan-batch", "16",
+             "--extend-batch", "64", "--align-segment", "128",
+             "--align-band", "64", "--diag-bin", "128"]
+
+
+def test_extract(tmp_path):
+    g = random_genome(6000, seed=101)
+    recs = [("a", g[:3000]), ("b", g[:1000]), ("c", g[:2000])]
+    path = str(tmp_path / "c.fasta")
+    write_fasta(path, recs)
+    n = extract(path, str(tmp_path / "out"), 1000, 4.0)  # target 4000 bases
+    picked = list(iter_fasta(str(tmp_path / "out.fasta")))
+    assert n == 2
+    assert [r.name for r in picked] == ["a", "c"]  # longest two, input order
+
+
+def test_coverage_intervals():
+    assert coverage_intervals(100, [(0, 50), (10, 100)], 1, 10) == [(0, 100)]
+    assert coverage_intervals(100, [(0, 50), (10, 100)], 2, 10) == [(10, 50)]
+    # interior gap splits
+    spans = [(0, 30), (0, 30), (60, 100), (60, 100)]
+    assert coverage_intervals(100, spans, 2, 10) == [(0, 30), (60, 100)]
+    assert coverage_intervals(100, [], 1, 10) == []
+    # min length filter
+    assert coverage_intervals(100, [(0, 5)], 1, 10) == []
+
+
+@pytest.mark.slow
+def test_pipeline_e2e(tmp_path):
+    genome = random_genome(8000, seed=111)
+    db, truths = simulate_reads(genome, 60, mean_len=2500, min_len=1500,
+                                seed=112, error_rate=0.08)
+    reads = str(tmp_path / "raw.fasta")
+    write_fasta(reads, [(db.name(i), db.read(i)) for i in range(db.n_reads)])
+
+    from mecat_tpu.cli.pipeline import main
+    out = str(tmp_path / "out")
+    rc = main(["-d", reads, "-o", out] + PIPE_ARGS)
+    assert rc == 0
+    for artifact in ["candidates.txt", "corrected.fasta", "extracted.fasta",
+                     "asm_overlaps.m4", "trimmed.fasta"]:
+        p = os.path.join(out, artifact)
+        assert os.path.exists(p) and os.path.getsize(p) > 0, artifact
+
+    trimmed = list(iter_fasta(os.path.join(out, "trimmed.fasta")))
+    assert len(trimmed) >= 10
+    total = sum(len(r.codes) for r in trimmed)
+    assert total >= 4 * 8000  # decent surviving coverage
+
+    # resume: rerunning must skip all stages (artifact mtimes unchanged)
+    mtimes = {a: os.path.getmtime(os.path.join(out, a))
+              for a in ["corrected.fasta", "trimmed.fasta"]}
+    rc = main(["-d", reads, "-o", out] + PIPE_ARGS)
+    assert rc == 0
+    for a, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, a)) == t
