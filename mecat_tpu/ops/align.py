@@ -38,6 +38,15 @@ INF = jnp.int32(1 << 20)
 Q_SENTINEL = 255
 T_SENTINEL = 254
 
+#: DP values are packed as val = edit_distance * IND_K + indel_count, so a
+#: single integer min gives the lexicographic (distance, indels) optimum and
+#: exact match counts come from a closed form instead of a traceback:
+#: with qc query / jc target chars consumed, matches = (qc+jc+indels)/2 - d.
+#: IND_K must exceed any possible per-segment indel count (<= 2S+W).
+IND_K = 4096
+#: masked-cell value: large, but IND_K * INF-safe in int32 arithmetic.
+VINF = jnp.int32(1 << 30)
+
 # move codes
 MOVE_MATCH = 0     # diagonal, q char == t char
 MOVE_MISMATCH = 1  # diagonal, substitution
@@ -57,12 +66,17 @@ def banded_dp_segment(q_seg: jnp.ndarray, t_seg: jnp.ndarray,
       W: band width (target positions covered at row i: [i-W/2, i+W/2)).
 
     Returns:
-      rows: int32 [B, S+1, W] DP distances per row (row r = after consuming
-        r query chars).
-      moves: uint8 [B, S, W] move codes for rows 1..S.
+      rows: int32 [B, S+1, W] packed DP values per row (row r = after
+        consuming r query chars): val = dist * IND_K + indels, VINF outside
+        the band.
+      moves: int32 [S, W//16, B] move codes for rows 1..S, 16 2-bit codes
+        packed per word (canonical packed-transposed layout, shared with the
+        Pallas kernel: code at (row i, band w, pair b) is
+        (moves[i-1, w//16, b] >> (2*(w%16))) & 3).
     """
     B, S = q_seg.shape
     half = W // 2
+    K1 = IND_K + 1  # cost of one indel step in packed-val units
     w_idx = jnp.arange(W, dtype=jnp.int32)
 
     # tpad[x] = t_seg[x - half]: left sentinel padding so the diagonal gather
@@ -72,36 +86,42 @@ def banded_dp_segment(q_seg: jnp.ndarray, t_seg: jnp.ndarray,
 
     j0 = w_idx - half  # target position of band cell w at row 0
     row0 = jnp.where((j0[None, :] >= 0) & (j0[None, :] <= tmax[:, None]),
-                     jnp.maximum(j0, 0)[None, :].astype(jnp.int32), INF)
+                     (jnp.maximum(j0, 0) * K1)[None, :].astype(jnp.int32),
+                     VINF)
+
+    pack_w = jnp.asarray([1 << (2 * k) for k in range(16)],
+                         dtype=jnp.int32)  # 2-bit packing weights
 
     def step(prev, i):
         # i: row index 1..S (i query chars consumed)
         qc = jax.lax.dynamic_slice_in_dim(q_seg, i - 1, 1, axis=1)  # [B,1]
         td = jax.lax.dynamic_slice_in_dim(tpad, i - 1, W, axis=1)   # [B,W]
         sub = jnp.where(qc == td, 0, 1).astype(jnp.int32)
-        diag = prev + sub
+        diag = prev + sub * IND_K
         vert = jnp.concatenate(
-            [prev[:, 1:], jnp.full((B, 1), INF, jnp.int32)], axis=1) + 1
+            [prev[:, 1:], jnp.full((B, 1), VINF, jnp.int32)], axis=1) + K1
         cand = jnp.minimum(diag, vert)
         j = i - half + w_idx  # [W] target position of each band cell
         valid = (j[None, :] >= 0) & (j[None, :] <= tmax[:, None])
-        cand = jnp.where(valid, cand, INF)
-        # horizontal closure: cur[w] = min_{u<=w} cand[u] + (w-u)
-        cur = jax.lax.cummin(cand - w_idx[None, :], axis=1) + w_idx[None, :]
-        cur = jnp.where(valid, jnp.minimum(cur, INF), INF)
+        cand = jnp.where(valid, cand, VINF)
+        # horizontal closure: cur[w] = min_{u<=w} cand[u] + (w-u)*K1
+        cur = (jax.lax.cummin(cand - w_idx[None, :] * K1, axis=1)
+               + w_idx[None, :] * K1)
+        cur = jnp.where(valid, jnp.minimum(cur, VINF), VINF)
         # move attribution, priority: match/mismatch > vertical > horizontal
-        move = jnp.full((B, W), MOVE_HORIZ, dtype=jnp.uint8)
+        # (MOVE_MATCH/MISMATCH == sub value)
+        move = jnp.full((B, W), MOVE_HORIZ, dtype=jnp.int32)
         move = jnp.where(cur == vert, MOVE_VERT, move)
-        move = jnp.where(cur == diag,
-                         jnp.where(sub == 0, MOVE_MATCH, MOVE_MISMATCH),
-                         move)
-        return cur, (cur, move)
+        move = jnp.where(cur == diag, sub, move)
+        # pack 16 2-bit codes per int32 word, transpose to [Wp, B]
+        packed = jnp.sum(move.reshape(B, W // 16, 16) * pack_w[None, None, :],
+                         axis=2).astype(jnp.int32).T
+        return cur, (cur, packed)
 
     last, (rows, moves) = jax.lax.scan(
         step, row0, jnp.arange(1, S + 1, dtype=jnp.int32))
     rows = jnp.concatenate([row0[:, None, :],
                             jnp.moveaxis(rows, 0, 1)], axis=1)
-    moves = jnp.moveaxis(moves, 0, 1)
     return rows, moves
 
 
@@ -109,9 +129,10 @@ def pick_end(rows: jnp.ndarray, seg_qlen: jnp.ndarray, tmax: jnp.ndarray,
              W: int):
     """Best band cell on the row where the segment's query chars run out.
 
-    Tie-break: minimal distance, then target advance closest to the query
-    advance (stay near the main diagonal).  TODO(ref): reference tie-breaking
-    unknown (mount empty); "modulo tie-breaking" per BASELINE.json.
+    Tie-break: minimal (distance, indels), then target advance closest to
+    the query advance (stay near the main diagonal).  TODO(ref): reference
+    tie-breaking unknown (mount empty); "modulo tie-breaking" per
+    BASELINE.json.
     """
     B = rows.shape[0]
     half = W // 2
@@ -120,10 +141,15 @@ def pick_end(rows: jnp.ndarray, seg_qlen: jnp.ndarray, tmax: jnp.ndarray,
         rows, seg_qlen[:, None, None].astype(jnp.int32), axis=1)[:, 0, :]
     j = seg_qlen[:, None] - half + w_idx[None, :]
     valid = (j >= 0) & (j <= tmax[:, None])
-    dist = jnp.where(valid, last, INF)
-    key = dist * (2 * W) + jnp.abs(w_idx[None, :] - half)
+    val = jnp.where(valid, last, VINF)
+    # lexicographic (val, |w-half|): scale by 2W without overflow by
+    # comparing float64-free: use (val - min) trick is overkill; val < 2^23
+    # in practice so val*(2W) stays in int32 for W <= 128.
+    key = val * (2 * W) + jnp.abs(w_idx[None, :] - half)
+    key = jnp.where(val >= VINF, jnp.int32(2 ** 31 - 1), key)
     w_best = jnp.argmin(key, axis=1).astype(jnp.int32)
-    d_best = jnp.take_along_axis(dist, w_best[:, None], axis=1)[:, 0]
+    v_best = jnp.take_along_axis(val, w_best[:, None], axis=1)[:, 0]
+    d_best = jnp.where(v_best >= VINF, INF, v_best // IND_K)
     j_best = seg_qlen - half + w_best
     return w_best, j_best, d_best
 
@@ -146,39 +172,50 @@ def pick_end_local(rows: jnp.ndarray, seg_qlen: jnp.ndarray,
     half = W // 2
     w_idx = jnp.arange(W, dtype=jnp.int32)
     r_idx = jnp.arange(S1, dtype=jnp.int32)
+    dist = rows // IND_K
     j = r_idx[None, :, None] - half + w_idx[None, None, :]   # [1, S+1, W]
     valid = ((j >= 0) & (j <= tmax[:, None, None])
              & (r_idx[None, :, None] <= seg_qlen[:, None, None]))
-    score = jnp.where(valid & (rows < INF),
-                      r_idx[None, :, None] + j - 2 * penalty * rows,
+    score = jnp.where(valid & (rows < VINF),
+                      r_idx[None, :, None] + j - 2 * penalty * dist,
                       jnp.int32(-(1 << 26)))
     flat = score.reshape(B, S1 * W)
     best = jnp.argmax(flat, axis=1).astype(jnp.int32)
     r_best = best // W
     w_best = best % W
-    d_best = jnp.take_along_axis(rows.reshape(B, S1 * W), best[:, None],
+    v_best = jnp.take_along_axis(rows.reshape(B, S1 * W), best[:, None],
                                  axis=1)[:, 0]
+    d_best = jnp.where(v_best >= VINF, INF, v_best // IND_K)
+    i_best = jnp.where(v_best >= VINF, 0, v_best % IND_K)
     j_best = r_best - half + w_best
-    return r_best, w_best, j_best, d_best
+    return r_best, w_best, j_best, d_best, i_best
+
+
+def _read_move(flat: jnp.ndarray, i, w, S: int, W: int):
+    """Read the 2-bit move at (row i, band w) from packed moves [S*Wp, B]."""
+    Wp = W // 16
+    idx = jnp.clip((i - 1) * Wp + w // 16, 0, S * Wp - 1)
+    word = jnp.take_along_axis(flat, idx[None, :], axis=0)[0]
+    # arithmetic >> then & 3 is sign-safe for the top 2-bit slot
+    return (word >> (2 * (w % 16))) & 3
 
 
 def traceback_counts(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
                      w_end: jnp.ndarray, W: int):
     """Batched traceback from (seg_qlen, w_end) to row 0: match/column counts.
 
-    Returns (matches, align_len, lead_del) where lead_del is the number of
-    leading target deletions charged by the D[0][j]=j start row.
+    moves: packed [S, W//16, B] (see banded_dp_segment).  Returns
+    (matches, align_len, lead_del) where lead_del is the number of leading
+    target deletions charged by the D[0][j]=j start row.
     """
-    B, S, _ = moves.shape
+    S, Wp, B = moves.shape
     half = W // 2
-    flat = moves.reshape(B, S * W)
-    rows_idx = jnp.arange(B, dtype=jnp.int32)
+    flat = moves.reshape(S * Wp, B)
 
     def body(_, state):
         i, w, m, alen = state
         active = i > 0
-        idx = jnp.clip((i - 1) * W + w, 0, S * W - 1)
-        mv = flat[rows_idx, idx]
+        mv = _read_move(flat, i, w, S, W)
         is_diag = (mv == MOVE_MATCH) | (mv == MOVE_MISMATCH)
         di = jnp.where(is_diag | (mv == MOVE_VERT), 1, 0)
         dw = jnp.where(mv == MOVE_VERT, 1, jnp.where(mv == MOVE_HORIZ, -1, 0))
@@ -191,7 +228,8 @@ def traceback_counts(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
     zeros = jnp.zeros_like(seg_qlen)
     # bound: alen <= (diag+vert) + horiz <= S + (S + W/2) columns
     i, w, m, alen = jax.lax.fori_loop(
-        0, 2 * S + W, body, (seg_qlen.astype(jnp.int32), w_end, zeros, zeros))
+        0, 2 * S + W, body,
+        (seg_qlen.astype(jnp.int32), w_end.astype(jnp.int32), zeros, zeros))
     lead_del = w - half  # at row 0, remaining j = w - half leading deletions
     return m, alen + jnp.maximum(lead_del, 0), jnp.maximum(lead_del, 0)
 
@@ -209,11 +247,12 @@ def traceback_ops(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
         position the insert precedes);
       n_cols: int32 [B].
     MAXC = 2*S + W (worst-case column count of one segment).
+    moves: packed [S, W//16, B] (see banded_dp_segment).
     """
-    B, S, _ = moves.shape
+    S, Wp, B = moves.shape
     half = W // 2
     MAXC = 2 * S + W
-    flat = moves.reshape(B, S * W)
+    flat = moves.reshape(S * Wp, B)
     rows_idx = jnp.arange(B, dtype=jnp.int32)
 
     def body(step, state):
@@ -221,8 +260,7 @@ def traceback_ops(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
         j = i - half + w
         in_dp = i > 0
         tail_del = (i == 0) & (j > 0)   # leading target deletions at row 0
-        idx = jnp.clip((i - 1) * W + w, 0, S * W - 1)
-        mv = jnp.where(in_dp, flat[rows_idx, idx],
+        mv = jnp.where(in_dp, _read_move(flat, i, w, S, W),
                        jnp.where(tail_del, MOVE_HORIZ, -1)).astype(jnp.int8)
         active = mv >= 0
         is_diag = (mv == MOVE_MATCH) | (mv == MOVE_MISMATCH)
@@ -253,6 +291,29 @@ def traceback_ops(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
             jnp.full((B, MAXC), -1, jnp.int32))
     _, _, n, ops, qi, tj = jax.lax.fori_loop(0, MAXC, body, init)
     return ops, qi, tj, n
+
+
+def dp_segment_best(q_seg: jnp.ndarray, t_seg: jnp.ndarray,
+                    tmax: jnp.ndarray, seg_q: jnp.ndarray, S: int, W: int):
+    """One DP segment + local-best endpoint; Pallas on TPU, XLA elsewhere.
+
+    t_seg: [B, S + W//2] window chars.  Returns
+    (moves [S,W//16,B] packed, r_best, w_best, j_best, d_best, ind_best) —
+    both backends produce identical values (tests/test_pallas_dp.py).
+    """
+    from .pallas_dp import dp_segment_best_pallas, pallas_available
+
+    B = q_seg.shape[0]
+    if pallas_available(S, W, B):
+        half = W // 2
+        tpad = jnp.full((B, S + W), T_SENTINEL, dtype=q_seg.dtype)
+        tpad = tpad.at[:, half:half + t_seg.shape[1]].set(t_seg)
+        block_b = 256 if B % 256 == 0 else 128
+        return dp_segment_best_pallas(q_seg, tpad, tmax, seg_q,
+                                      S=S, W=W, block_b=block_b)
+    rows, moves = banded_dp_segment(q_seg, t_seg, tmax, W)
+    r_end, w_end, j_end, d_seg, ind = pick_end_local(rows, seg_q, tmax, W)
+    return moves, r_end, w_end, j_end, d_seg, ind
 
 
 class ExtensionResult(NamedTuple):
@@ -293,9 +354,12 @@ def _extend_direction_impl(q_pad, t_pad, q0, t0, qlen, tlen, *, S, W,
             lambda row, o: jax.lax.dynamic_slice(row, (o,), (S + half,))
         )(t_pad, (t0 + toff).astype(jnp.int32))
 
-        rows, moves = banded_dp_segment(q_seg, t_seg, rem_t, W)
-        r_end, w_end, j_end, d_seg = pick_end_local(rows, seg_q, rem_t, W)
-        m_seg, a_seg, _ = traceback_counts(moves, r_end, w_end, W)
+        moves, r_end, w_end, j_end, d_seg, ind_seg = dp_segment_best(
+            q_seg, t_seg, rem_t, seg_q, S, W)
+        # closed-form match/column counts from the packed DP value (no
+        # traceback needed): matches = (qc + jc + indels)/2 - d.
+        m_seg = jnp.maximum((r_end + j_end + ind_seg) // 2 - d_seg, 0)
+        a_seg = m_seg + d_seg
 
         ident = m_seg / jnp.maximum(a_seg, 1)
         ok = active & (r_end + j_end > 0) & (d_seg < INF) & (
@@ -321,8 +385,25 @@ def _extend_direction_impl(q_pad, t_pad, q0, t0, qlen, tlen, *, S, W,
     zeros = jnp.zeros((B,), jnp.int32)
     init = (zeros, zeros, zeros, zeros, zeros,
             (qlen > 0) & (tlen > 0))
-    (qoff, toff, dist, matches, alen, _), ys = jax.lax.scan(
-        seg_step, init, None, length=max_segs)
+    if collect_ops:
+        (qoff, toff, dist, matches, alen, _), ys = jax.lax.scan(
+            seg_step, init, None, length=max_segs)
+    else:
+        # early exit once every pair has stopped extending: most pairs use
+        # far fewer than max_segs segments, and DP cost scales with the max
+        # active segment count in the batch, not the worst case.
+        def cond(state):
+            n, st = state
+            return (n < max_segs) & jnp.any(st[5])
+
+        def body(state):
+            n, st = state
+            st2, _ = seg_step(st, None)
+            return n + 1, st2
+
+        _, (qoff, toff, dist, matches, alen, _) = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), init))
+        ys = None
     return ExtensionResult(qoff, toff, dist, matches, alen), ys
 
 

@@ -4,7 +4,7 @@ import pytest
 
 jnp = pytest.importorskip("jax.numpy")
 
-from mecat_tpu.ops.align import (banded_dp_segment, extend_pair_batch,
+from mecat_tpu.ops.align import (IND_K, banded_dp_segment, extend_pair_batch,
                                  pick_end, traceback_counts,
                                  Q_SENTINEL, T_SENTINEL)
 from mecat_tpu.io.packed_db import revcomp
@@ -52,7 +52,7 @@ def test_banded_matches_full_dp():
     tb = pad_batch(ts, S + W // 2, T_SENTINEL)
     rows, moves = banded_dp_segment(jnp.asarray(qb), jnp.asarray(tb),
                                     jnp.asarray(tlen), W)
-    rows = np.asarray(rows)
+    rows = np.asarray(rows) // IND_K  # packed val -> edit distance
     half = W // 2
     for b in range(len(qs)):
         D = levenshtein_row(qs[b], ts[b][:tlen[b]])
