@@ -107,6 +107,21 @@ def _iter_fastq_fh(fh) -> Iterator[FastaRecord]:
 def write_fasta(path: str, records: Sequence[Tuple[str, np.ndarray]],
                 width: int = 80) -> None:
     """Write (name, codes) records as FASTA with fixed line width."""
+    from ..native import get as _native
+    lib = _native()
+    if lib is not None:
+        records = list(records)
+        names = [name for name, _ in records]
+        chunks = [np.asarray(c, dtype=np.uint8) for _, c in records]
+        lengths = np.array([len(c) for c in chunks], dtype=np.int32)
+        starts = np.zeros(len(chunks), dtype=np.int64)
+        if len(chunks):
+            np.cumsum(lengths[:-1].astype(np.int64), out=starts[1:])
+        codes = (np.concatenate(chunks) if chunks
+                 else np.zeros(0, dtype=np.uint8))
+        with open(path, "wb") as fh:
+            fh.write(lib.format_fasta(codes, starts, lengths, names, width))
+        return
     with open(path, "wb") as fh:
         for name, codes in records:
             fh.write(b">" + name.encode() + b"\n")

@@ -90,6 +90,32 @@ class CandidateRecord:
                    sdir=int(f[6]), sext=int(f[7]), ssize=int(f[8]))
 
 
+def format_block(records: List) -> str:
+    """Batched formatting of a homogeneous list of M4Record/CandidateRecord.
+
+    Uses the native columnar serializer (mecat_tpu.native) when available —
+    this is the hot write path of the pw/ref drivers — with a per-record
+    Python fallback producing identical bytes.
+    """
+    if not records:
+        return ""
+    from ..native import get as _native
+    import numpy as np
+    lib = _native()
+    if lib is None:
+        return "".join(r.format() + "\n" for r in records)
+    if isinstance(records[0], M4Record):
+        cols = {f: np.asarray([getattr(r, f) for r in records])
+                for f in ("qid", "sid", "identity", "score", "qstrand",
+                          "qstart", "qend", "qsize", "sstrand", "sstart",
+                          "send", "ssize")}
+        return lib.format_m4(cols).decode()
+    cols = {f: np.asarray([getattr(r, f) for r in records])
+            for f in ("qid", "sid", "score", "qdir", "qext", "qsize",
+                      "sdir", "sext", "ssize")}
+    return lib.format_candidates(cols).decode()
+
+
 def read_m4(path: str) -> Iterator[M4Record]:
     with open(path) as fh:
         for line in fh:

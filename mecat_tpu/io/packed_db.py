@@ -38,6 +38,10 @@ def revcomp(codes: np.ndarray) -> np.ndarray:
 def pack_2bit(codes: np.ndarray) -> np.ndarray:
     """uint8 codes {0..3} → 2-bit packed bytes (4 bases/byte, LSB-first)."""
     codes = np.asarray(codes, dtype=np.uint8)
+    from ..native import get as _native
+    lib = _native()
+    if lib is not None:
+        return lib.pack_2bit(codes)
     n = len(codes)
     padded = np.zeros((n + 3) // 4 * 4, dtype=np.uint8)
     padded[:n] = codes
@@ -49,6 +53,10 @@ def pack_2bit(codes: np.ndarray) -> np.ndarray:
 def unpack_2bit(packed: np.ndarray, n_bases: int) -> np.ndarray:
     """2-bit packed bytes → uint8 codes {0..3} of length n_bases."""
     packed = np.asarray(packed, dtype=np.uint8)
+    from ..native import get as _native
+    lib = _native()
+    if lib is not None:
+        return lib.unpack_2bit(packed, n_bases)
     out = np.empty((len(packed), 4), dtype=np.uint8)
     out[:, 0] = packed & 3
     out[:, 1] = (packed >> 2) & 3
@@ -86,6 +94,12 @@ class PackedDB:
 
     @classmethod
     def from_fasta(cls, path: str) -> "PackedDB":
+        from ..native import get as _native
+        lib = _native()
+        if lib is not None and not str(path).endswith(".gz"):
+            p = lib.parse_path(str(path))
+            return cls(codes=p.codes, starts=p.starts, lengths=p.lengths,
+                       names=p.names)
         return cls.from_records(iter_fasta(path))
 
     # -- accessors -----------------------------------------------------------
@@ -167,6 +181,11 @@ class PackedDB:
         lens = self.lengths[read_ids].astype(np.int32)
         maxlen = int(lens.max()) if len(lens) else multiple
         L = pad_to if pad_to is not None else -(-maxlen // multiple) * multiple
+        from ..native import get as _native
+        lib = _native()
+        if lib is not None:
+            return lib.padded_batch(self.codes, self.starts, self.lengths,
+                                    read_ids, L)
         out = np.zeros((len(read_ids), L), dtype=np.uint8)
         for row, rid in enumerate(read_ids):
             r = self.read(int(rid))[:L]

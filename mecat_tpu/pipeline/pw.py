@@ -24,7 +24,7 @@ import numpy as np
 
 from .. import constants as C
 from ..index.kmer_index import build_index
-from ..io.m4 import CandidateRecord, M4Record
+from ..io.m4 import CandidateRecord, M4Record, format_block
 from ..io.packed_db import PackedDB
 from ..ops.align import extend_pair_batch
 from ..ops.ddf import scan_candidates
@@ -233,10 +233,8 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                     m4s, cands = process_query_batch(
                         db, va, dev, idx.max_occ_cutoff, qids, opts, vol_db,
                         stats, L_query, L_target)
-                    for r in m4s:
-                        fh.write(r.format() + "\n")
-                    for r in cands:
-                        fh.write(r.format() + "\n")
+                    fh.write(format_block(m4s))
+                    fh.write(format_block(cands))
                 log.info("pw: volume %d vs %d done (%d candidates, %d overlaps)",
                          vi, vj, stats.candidates, stats.overlaps)
     stats.seconds = time.time() - t0
