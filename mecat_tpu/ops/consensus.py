@@ -162,3 +162,28 @@ class CnsTable:
             return []
         cut = np.nonzero(np.diff(segs))[0] + 1
         return [s for s in np.split(bases, cut) if len(s) >= min_length]
+
+    def call_polished(self, min_coverage: int = 2) -> np.ndarray:
+        """Single polished sequence (contig-consensus / utgcns role).
+
+        Unlike :meth:`call`, never splits: where support coverage is below
+        ``min_coverage`` the template base is kept verbatim (a draft contig
+        backbone is trusted outside well-covered windows), elsewhere the
+        majority vote applies including deletions and insertion slots.
+        """
+        use = self.coverage >= min_coverage
+        base_win = np.argmax(self.counts[:, 0, :], axis=1)
+        ins_tot = self.counts[:, 1:, :4].sum(axis=2)
+        ins_win = np.argmax(self.counts[:, 1:, :4], axis=2)
+        ins_emit = np.cumprod(
+            ins_tot * 2 > np.maximum(self.coverage, 1)[:, None],
+            axis=1).astype(bool)
+
+        D1 = self.counts.shape[1]
+        emit = np.full((self.L, D1), -1, dtype=np.int32)
+        emit[:, 0] = np.where(use,
+                              np.where(base_win != GAP, base_win, -1),
+                              self.template)
+        emit[:, 1:] = np.where(use[:, None] & ins_emit, ins_win, -1)
+        flat = emit.reshape(-1)
+        return flat[flat >= 0].astype(np.uint8)
