@@ -69,7 +69,8 @@ def run_on(device, db, idx, n_batches):
         dev = dict(
             vol_codes=jnp.asarray(db.codes),
             offsets=jnp.asarray(idx.offsets),
-            positions=jnp.asarray(idx.positions),
+            pos_rid=jnp.asarray(idx.pos_rid),
+            pos_loc=jnp.asarray(idx.pos_loc),
             read_starts=jnp.asarray(idx.read_starts),
             read_lengths=jnp.asarray(idx.read_lengths))
         cutoff = jnp.int32(idx.max_occ_cutoff)
@@ -84,7 +85,7 @@ def run_on(device, db, idx, n_batches):
         # warmup/compile
         a = batch_args(0)
         out = overlap_step(a[0], a[1], a[2], dev["vol_codes"], dev["offsets"],
-                           dev["positions"], dev["read_starts"],
+                           dev["pos_rid"], dev["pos_loc"], dev["read_starts"],
                            dev["read_lengths"], cutoff, **CFG)
         jax.block_until_ready(out)
 
@@ -93,7 +94,7 @@ def run_on(device, db, idx, n_batches):
         for bi in range(n_batches):
             a = batch_args(bi % (db.n_reads // B))
             out = overlap_step(a[0], a[1], a[2], dev["vol_codes"],
-                               dev["offsets"], dev["positions"],
+                               dev["offsets"], dev["pos_rid"], dev["pos_loc"],
                                dev["read_starts"], dev["read_lengths"],
                                cutoff, **CFG)
             overlaps += int(np.asarray(out.valid).sum())

@@ -294,12 +294,16 @@ def traceback_ops(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
 
 
 def dp_segment_best(q_seg: jnp.ndarray, t_seg: jnp.ndarray,
-                    tmax: jnp.ndarray, seg_q: jnp.ndarray, S: int, W: int):
+                    tmax: jnp.ndarray, seg_q: jnp.ndarray, S: int, W: int,
+                    want_moves: bool = True):
     """One DP segment + local-best endpoint; Pallas on TPU, XLA elsewhere.
 
     t_seg: [B, S + W//2] window chars.  Returns
     (moves [S,W//16,B] packed, r_best, w_best, j_best, d_best, ind_best) —
     both backends produce identical values (tests/test_pallas_dp.py).
+    With want_moves=False, moves is None (counts-only overlap path: the
+    Pallas kernel skips its whole HBM move stream; the XLA path relies on
+    jit DCE of the unused scan output).
     """
     from .pallas_dp import dp_segment_best_pallas, pallas_available
 
@@ -310,10 +314,11 @@ def dp_segment_best(q_seg: jnp.ndarray, t_seg: jnp.ndarray,
         tpad = tpad.at[:, half:half + t_seg.shape[1]].set(t_seg)
         block_b = 256 if B % 256 == 0 else 128
         return dp_segment_best_pallas(q_seg, tpad, tmax, seg_q,
-                                      S=S, W=W, block_b=block_b)
+                                      S=S, W=W, block_b=block_b,
+                                      with_moves=want_moves)
     rows, moves = banded_dp_segment(q_seg, t_seg, tmax, W)
     r_end, w_end, j_end, d_seg, ind = pick_end_local(rows, seg_q, tmax, W)
-    return moves, r_end, w_end, j_end, d_seg, ind
+    return (moves if want_moves else None), r_end, w_end, j_end, d_seg, ind
 
 
 class ExtensionResult(NamedTuple):
@@ -355,7 +360,7 @@ def _extend_direction_impl(q_pad, t_pad, q0, t0, qlen, tlen, *, S, W,
         )(t_pad, (t0 + toff).astype(jnp.int32))
 
         moves, r_end, w_end, j_end, d_seg, ind_seg = dp_segment_best(
-            q_seg, t_seg, rem_t, seg_q, S, W)
+            q_seg, t_seg, rem_t, seg_q, S, W, want_moves=collect_ops)
         # closed-form match/column counts from the packed DP value (no
         # traceback needed): matches = (qc + jc + indels)/2 - d.
         m_seg = jnp.maximum((r_end + j_end + ind_seg) // 2 - d_seg, 0)

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as C
-from ..index.kmer_index import global_to_read, kmer_codes_jnp, probe_index
+from ..index.kmer_index import kmer_codes_jnp, probe_index
 
 #: diagonals are shifted by this before binning so they are non-negative
 #: (supports reads/genome chunks up to 2^20 bases on either side).
@@ -52,9 +52,8 @@ def probe_hits(
     bases: jnp.ndarray,        # uint8 [B, L] query bases (already oriented)
     lengths: jnp.ndarray,      # int32 [B]
     offsets: jnp.ndarray,      # index CSR offsets (full or one hash shard)
-    positions: jnp.ndarray,    # index positions
-    read_starts: jnp.ndarray,  # int32 [n_reads] of the indexed volume
-    read_lengths: jnp.ndarray, # int32 [n_reads]
+    pos_rid: jnp.ndarray,      # index occurrence read ids
+    pos_loc: jnp.ndarray,      # index occurrence in-read offsets
     cutoff: jnp.ndarray,       # int32 scalar high-frequency k-mer cutoff
     self_id: jnp.ndarray,      # int32 [B] target id to exclude (-1: none)
     *,
@@ -83,11 +82,12 @@ def probe_hits(
     qvalid = qpos[None, :] + k <= lengths[:, None]            # [B, Q]
     qvalid &= (codes >= code_lo) & (codes < code_hi)
 
-    hit_pos, hit_valid = probe_index(offsets, positions, codes - code_lo,
-                                     qvalid, cutoff, max_occ=max_occ)
+    hit_rid, hit_loc, hit_valid = probe_index(
+        offsets, pos_rid, pos_loc, codes - code_lo, qvalid, cutoff,
+        max_occ=max_occ)
 
-    rid, toff = global_to_read(read_starts, read_lengths,
-                               hit_pos.reshape(B, H))
+    rid = hit_rid.reshape(B, H)
+    toff = hit_loc.reshape(B, H)
     hqpos = jnp.broadcast_to(qpos[None, :, None],
                              (B, Q, max_occ)).reshape(B, H)
     hvalid = hit_valid.reshape(B, H)
@@ -117,16 +117,22 @@ def score_hits(rid, dbin, hqpos, toff, hvalid, *, num_candidates: int
     svalid = rid_s != _INVALID_RID
 
     # -- 5. run-length scores -------------------------------------------------
+    # run length at each run start = (index of the next start) - (own index),
+    # clipped to the valid prefix (invalid hits all sort to the tail).  A
+    # reverse cummin computes next-start indices with no scatter/gather:
+    # the scatter-add formulation measured 6x slower on v5e.
     same_prev = jnp.zeros((B, H), dtype=bool).at[:, 1:].set(
         (rid_s[:, 1:] == rid_s[:, :-1]) & (dbin_s[:, 1:] == dbin_s[:, :-1]))
     is_start = svalid & ~same_prev
-    run_id = jnp.cumsum(is_start.astype(jnp.int32), axis=-1) - 1  # [B, H]
-    run_id_c = jnp.clip(run_id, 0, H - 1)
-    brow = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, H))
-    run_len = jnp.zeros((B, H), jnp.int32).at[brow, run_id_c].add(
-        svalid.astype(jnp.int32))
-    score_at_start = jnp.where(is_start, jnp.take_along_axis(
-        run_len, run_id_c, axis=-1), 0)
+    h_idx = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
+    start_pos = jnp.where(is_start, h_idx, H)
+    next_start_geq = jnp.flip(
+        jax.lax.cummin(jnp.flip(start_pos, axis=-1), axis=1), axis=-1)
+    next_start = jnp.concatenate(
+        [next_start_geq[:, 1:], jnp.full((B, 1), H, jnp.int32)], axis=-1)
+    n_valid = jnp.sum(svalid, axis=-1, keepdims=True).astype(jnp.int32)
+    score_at_start = jnp.where(
+        is_start, jnp.minimum(next_start, n_valid) - h_idx, 0)
 
     # -- 6. top-n candidates ---------------------------------------------------
     n = num_candidates
@@ -149,9 +155,8 @@ def scan_candidates(
     bases: jnp.ndarray,
     lengths: jnp.ndarray,
     offsets: jnp.ndarray,
-    positions: jnp.ndarray,
-    read_starts: jnp.ndarray,
-    read_lengths: jnp.ndarray,
+    pos_rid: jnp.ndarray,
+    pos_loc: jnp.ndarray,
     cutoff: jnp.ndarray,
     self_id: jnp.ndarray,
     *,
@@ -164,7 +169,7 @@ def scan_candidates(
 ) -> Candidates:
     """Single-device candidate scan: probe_hits → score_hits."""
     rid, dbin, hqpos, toff, hvalid = probe_hits(
-        bases, lengths, offsets, positions, read_starts, read_lengths,
+        bases, lengths, offsets, pos_rid, pos_loc,
         cutoff, self_id, k=k, stride=stride, max_occ=max_occ,
         diag_bin=diag_bin, diag_shift=diag_shift)
     return score_hits(rid, dbin, hqpos, toff, hvalid,

@@ -44,15 +44,21 @@ _NEG = -(1 << 26)
 _K1 = IND_K + 1
 
 
-def _dp_kernel(q_ref, t_ref, tmax_ref, segq_ref, moves_ref, best_ref, *,
-               S: int, W: int):
+def _dp_kernel(q_ref, t_ref, tmax_ref, segq_ref, *out_refs,
+               S: int, W: int, with_moves: bool):
     # transposed layout: q_ref [S, B], t_ref [S+W, B], tmax/segq [1, B],
-    # moves_ref [S, W/16, B], best_ref [8, B]
+    # moves_ref [S, W/16, B] (with_moves only), best_ref [8, B].
+    # The counts-only extension path (overlap detection) never reads moves:
+    # skipping them removes the kernel's entire HBM write stream
+    # (S * W/16 * B words per segment) plus the packing ALU work.
+    moves_ref = out_refs[0] if with_moves else None
+    best_ref = out_refs[-1]
     B = q_ref.shape[1]
     half = W // 2
     Wp = W // 16
     w_idx = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
-    k_idx = jax.lax.broadcasted_iota(jnp.int32, (Wp, 16, B), 1)
+    k_idx = (jax.lax.broadcasted_iota(jnp.int32, (Wp, 16, B), 1)
+             if with_moves else None)
     tmax = tmax_ref[0:1, :]                      # [1, B]
     segq = segq_ref[0:1, :]
 
@@ -88,14 +94,15 @@ def _dp_kernel(q_ref, t_ref, tmax_ref, segq_ref, moves_ref, best_ref, *,
         cur = y + w_idx * _K1
         cur = jnp.where(valid, jnp.minimum(cur, VINF), VINF)
 
-        # move attribution, priority match/mismatch > vertical > horizontal
-        # (match/mismatch code == sub value, as in ops/align)
-        move = jnp.where(cur == vert, jnp.int32(2), jnp.int32(3))
-        move = jnp.where(cur == diag, sub, move)
-        # pack 16 2-bit codes per int32 word along the band axis
-        packed = jnp.sum(move.reshape(Wp, 16, B) << (2 * k_idx), axis=1)
-        moves_ref[pl.ds(i - 1, 1), :, :] = (
-            packed.astype(jnp.int32).reshape(1, Wp, B))
+        if with_moves:
+            # move attribution, priority match/mismatch > vert > horizontal
+            # (match/mismatch code == sub value, as in ops/align)
+            move = jnp.where(cur == vert, jnp.int32(2), jnp.int32(3))
+            move = jnp.where(cur == diag, sub, move)
+            # pack 16 2-bit codes per int32 word along the band axis
+            packed = jnp.sum(move.reshape(Wp, 16, B) << (2 * k_idx), axis=1)
+            moves_ref[pl.ds(i - 1, 1), :, :] = (
+                packed.astype(jnp.int32).reshape(1, Wp, B))
 
         # best-cell tracking (pick_end_local: score = r + j - 2*penalty*D)
         dist = cur // IND_K
@@ -132,11 +139,12 @@ def _dp_kernel(q_ref, t_ref, tmax_ref, segq_ref, moves_ref, best_ref, *,
     best_ref[4:8, :] = jnp.zeros((4, B), jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("S", "W", "block_b", "interpret"))
+@partial(jax.jit, static_argnames=("S", "W", "block_b", "interpret",
+                                   "with_moves"))
 def dp_segment_best_pallas(q_seg: jnp.ndarray, tpad: jnp.ndarray,
                            tmax: jnp.ndarray, seg_q: jnp.ndarray,
                            *, S: int, W: int, block_b: int = 256,
-                           interpret: bool = False):
+                           interpret: bool = False, with_moves: bool = True):
     """Banded DP + local-best endpoint, one fused kernel.
 
     Args:
@@ -145,16 +153,27 @@ def dp_segment_best_pallas(q_seg: jnp.ndarray, tpad: jnp.ndarray,
              (tpad[:, x] = t_window[x - W/2])
       tmax:  int32 [B] usable target window length
       seg_q: int32 [B] rows eligible as endpoints (partial final segment)
+      with_moves: emit the packed move matrix (needed for traceback/ops;
+        the counts-only overlap path passes False and gets moves=None)
 
-    Returns (moves int32 [S, W//16, B] packed, r_best, w_best, j_best,
-    d_best, ind_best) — identical to banded_dp_segment + pick_end_local.
+    Returns (moves int32 [S, W//16, B] packed or None, r_best, w_best,
+    j_best, d_best, ind_best) — identical to banded_dp_segment +
+    pick_end_local.
     """
     B = q_seg.shape[0]
     assert B % block_b == 0 and block_b % 128 == 0, (B, block_b)
     grid = (B // block_b,)
     Wp = W // 16
-    moves, best = pl.pallas_call(
-        partial(_dp_kernel, S=S, W=W),
+    out_specs = [pl.BlockSpec((8, block_b), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((8, B), jnp.int32)]
+    if with_moves:
+        out_specs.insert(0, pl.BlockSpec((S, Wp, block_b),
+                                         lambda i: (0, 0, i),
+                                         memory_space=pltpu.VMEM))
+        out_shape.insert(0, jax.ShapeDtypeStruct((S, Wp, B), jnp.int32))
+    out = pl.pallas_call(
+        partial(_dp_kernel, S=S, W=W, with_moves=with_moves),
         grid=grid,
         in_specs=[
             pl.BlockSpec((S, block_b), lambda i: (0, i),
@@ -166,18 +185,12 @@ def dp_segment_best_pallas(q_seg: jnp.ndarray, tpad: jnp.ndarray,
             pl.BlockSpec((1, block_b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((S, Wp, block_b), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block_b), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((S, Wp, B), jnp.int32),
-            jax.ShapeDtypeStruct((8, B), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(q_seg.T, tpad.T, tmax.reshape(1, B), seg_q.reshape(1, B))
+    moves = out[0] if with_moves else None
+    best = out[-1]
     r_best = best[0]
     w_best = best[1]
     v_best = best[2]  # packed val = d * IND_K + indels

@@ -42,28 +42,32 @@ def make_mesh(n_data: int, n_hash: int, devices=None) -> Mesh:
 
 
 def shard_index_by_hash(idx: KmerIndex, n_hash: int
-                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                   np.ndarray]:
     """Split a CSR k-mer table into n_hash equal code ranges.
 
-    Returns (offsets_sh [n_hash, spp+1], positions_sh [n_hash, P_max],
-    code_lo [n_hash]) with per-shard offsets rebased to the shard's
-    positions slice and positions padded to the longest shard.
+    Returns (offsets_sh [n_hash, spp+1], rid_sh [n_hash, P_max],
+    loc_sh [n_hash, P_max], code_lo [n_hash]) with per-shard offsets rebased
+    to the shard's occurrence slice, padded to the longest shard.
     """
     n_slots = len(idx.offsets) - 1
     assert n_slots % n_hash == 0, (n_slots, n_hash)
     spp = n_slots // n_hash
-    off_sh, pos_sh, lo = [], [], []
+    off_sh, rid_sh, loc_sh, lo = [], [], [], []
     for h in range(n_hash):
         a, b = h * spp, (h + 1) * spp
         base = int(idx.offsets[a])
         off_sh.append(idx.offsets[a:b + 1].astype(np.int32) - base)
-        pos_sh.append(idx.positions[base:int(idx.offsets[b])])
+        rid_sh.append(idx.pos_rid[base:int(idx.offsets[b])])
+        loc_sh.append(idx.pos_loc[base:int(idx.offsets[b])])
         lo.append(a)
-    pmax = max(1, max(len(p) for p in pos_sh))
-    pos_pad = np.zeros((n_hash, pmax), dtype=np.int32)
-    for h, p in enumerate(pos_sh):
-        pos_pad[h, :len(p)] = p
-    return (np.stack(off_sh), pos_pad,
+    pmax = max(1, max(len(p) for p in rid_sh))
+    rid_pad = np.zeros((n_hash, pmax), dtype=np.int32)
+    loc_pad = np.zeros((n_hash, pmax), dtype=np.int32)
+    for h in range(n_hash):
+        rid_pad[h, :len(rid_sh[h])] = rid_sh[h]
+        loc_pad[h, :len(loc_sh[h])] = loc_sh[h]
+    return (np.stack(off_sh), rid_pad, loc_pad,
             np.asarray(lo, dtype=np.int32))
 
 
@@ -95,21 +99,20 @@ def sharded_overlap_step(
     """
     n_hash = mesh.shape["hash"]
 
-    def step(bases, lengths, self_id, vol_codes, offsets_sh, positions_sh,
-             code_lo, read_starts, read_lengths, cutoff):
+    def step(bases, lengths, self_id, vol_codes, offsets_sh, rid_sh,
+             loc_sh, code_lo, read_starts, read_lengths, cutoff):
         # local views: bases [Bl, L]; offsets_sh [1, spp+1]; code_lo [1]
         Bl = bases.shape[0]
         assert Bl % n_hash == 0, (Bl, n_hash)
         Bh = Bl // n_hash
         offsets_l = offsets_sh[0]
-        positions_l = positions_sh[0]
         lo = code_lo[0]
         spp = offsets_l.shape[0] - 1
 
         # 1. probe the local hash shard for the full local query batch
         rid, dbin, hqpos, toff, hvalid = ddf.probe_hits(
-            bases, lengths, offsets_l, positions_l, read_starts,
-            read_lengths, cutoff, self_id, k=k, stride=stride,
+            bases, lengths, offsets_l, rid_sh[0], loc_sh[0],
+            cutoff, self_id, k=k, stride=stride,
             max_occ=max_occ, diag_bin=diag_bin,
             code_lo=lo, code_hi=lo + spp)
 
@@ -134,12 +137,13 @@ def sharded_overlap_step(
         tgt = jnp.clip(cand.target, 0, read_starts.shape[0] - 1).reshape(-1)
         t_start = read_starts[tgt].astype(jnp.int32)
         t_len = read_lengths[tgt].astype(jnp.int32)
+        vol_pad = jnp.concatenate(
+            [vol_codes, jnp.zeros(L_target, dtype=vol_codes.dtype)])
+        rows = jax.vmap(
+            lambda o: jax.lax.dynamic_slice(vol_pad, (o,),
+                                            (L_target,)))(t_start)
         col = jnp.arange(L_target, dtype=jnp.int32)
-        t_mask = col[None, :] < t_len[:, None]
-        t_rows = jnp.where(t_mask,
-                           vol_codes[jnp.where(t_mask,
-                                               t_start[:, None] + col[None, :],
-                                               0)], 0)
+        t_rows = jnp.where(col[None, :] < t_len[:, None], rows, 0)
         res = extend_pair_batch(
             jnp.repeat(q_sub, N, axis=0), t_rows,
             jnp.repeat(qlen_sub, N), t_len,
@@ -163,7 +167,7 @@ def sharded_overlap_step(
         step, mesh=mesh,
         in_specs=(P("data"), P("data"), P("data"),        # queries
                   P(),                                     # vol_codes
-                  P("hash"), P("hash"), P("hash"),         # index shards
+                  P("hash"), P("hash"), P("hash"), P("hash"),  # index shards
                   P(), P(), P()),                          # read tables
         out_specs=jax.tree.map(lambda _: P(("data", "hash")),
                                OverlapStepOut(*(0,) * 8)),
@@ -172,13 +176,14 @@ def sharded_overlap_step(
 
 
 def place_sharded_inputs(mesh: Mesh, bases, lengths, self_id, vol_codes,
-                         offsets_sh, positions_sh, code_lo, read_starts,
+                         offsets_sh, rid_sh, loc_sh, code_lo, read_starts,
                          read_lengths, cutoff):
     """Device-put host arrays with the shardings sharded_overlap_step expects."""
     def put(x, spec):
         return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
     return (put(bases, P("data")), put(lengths, P("data")),
             put(self_id, P("data")), put(vol_codes, P()),
-            put(offsets_sh, P("hash")), put(positions_sh, P("hash")),
+            put(offsets_sh, P("hash")), put(rid_sh, P("hash")),
+            put(loc_sh, P("hash")),
             put(code_lo, P("hash")), put(read_starts, P()),
             put(read_lengths, P()), put(cutoff, P()))

@@ -118,7 +118,7 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
     for strand, bases in ((0, fwd_p), (1, rev_p)):
         cand = scan_candidates(
             jnp.asarray(bases), jnp.asarray(lens_p), dev["offsets"],
-            dev["positions"], dev["read_starts"], dev["read_lengths"],
+            dev["pos_rid"], dev["pos_loc"],
             jnp.int32(cutoff), jnp.asarray(self_p),
             k=opts.kmer_size, stride=opts.scan_stride, max_occ=opts.max_occ,
             num_candidates=opts.num_candidates, diag_bin=opts.diag_bin)

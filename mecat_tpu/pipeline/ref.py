@@ -85,7 +85,7 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
     for strand, bases in ((0, fwd_p), (1, rev_p)):
         cands[strand] = scan_candidates(
             jnp.asarray(bases), jnp.asarray(lens_p), dev["offsets"],
-            dev["positions"], dev["read_starts"], dev["read_lengths"],
+            dev["pos_rid"], dev["pos_loc"],
             jnp.int32(idx.max_occ_cutoff), jnp.asarray(no_self),
             k=opts.kmer_size, stride=opts.scan_stride, max_occ=opts.max_occ,
             num_candidates=opts.num_candidates, diag_bin=opts.diag_bin,

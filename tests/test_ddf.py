@@ -48,7 +48,7 @@ def run_scan(db, idx, read_ids, L=4096):
     dev = idx.as_device_arrays()
     return scan_candidates(
         jnp.asarray(bases), jnp.asarray(lens), dev["offsets"],
-        dev["positions"], dev["read_starts"], dev["read_lengths"],
+        dev["pos_rid"], dev["pos_loc"],
         jnp.int32(idx.max_occ_cutoff),
         jnp.asarray(read_ids, dtype=jnp.int32),
         k=K, stride=STRIDE, max_occ=32, num_candidates=20, diag_bin=BIN)
@@ -110,8 +110,8 @@ def test_sensitivity_true_overlaps(overlap_db):
             cand = scan_candidates(
                 jnp.asarray(padded),
                 jnp.asarray([min(len(bases), 4096)], dtype=jnp.int32),
-                dev["offsets"], dev["positions"], dev["read_starts"],
-                dev["read_lengths"], jnp.int32(idx.max_occ_cutoff),
+                dev["offsets"], dev["pos_rid"], dev["pos_loc"],
+                jnp.int32(idx.max_occ_cutoff),
                 jnp.asarray([q], dtype=jnp.int32),
                 k=K, stride=STRIDE, max_occ=32, num_candidates=30,
                 diag_bin=BIN)

@@ -77,9 +77,12 @@ def test_probe_index(small_db, brute6):
     dev = idx.as_device_arrays()
     q_codes = jnp.asarray([[c for c in list(brute)[:8]]], dtype=jnp.int32)
     q_valid = jnp.ones_like(q_codes, dtype=bool)
-    pos, valid = probe_index(dev["offsets"], dev["positions"], q_codes,
-                             q_valid, jnp.int32(idx.max_occ_cutoff), max_occ=16)
-    pos, valid = np.asarray(pos), np.asarray(valid)
+    rid, loc, valid = probe_index(dev["offsets"], dev["pos_rid"],
+                                  dev["pos_loc"], q_codes, q_valid,
+                                  jnp.int32(idx.max_occ_cutoff), max_occ=16)
+    starts = small_db.starts
+    pos = np.asarray(starts[np.asarray(rid)]) + np.asarray(loc)
+    valid = np.asarray(valid)
     for qi, code in enumerate(list(brute)[:8]):
         want = set(brute[code][:16]) if len(brute[code]) <= 16 else None
         got = set(pos[0, qi][valid[0, qi]].tolist())
@@ -93,12 +96,14 @@ def test_probe_invalid_and_cutoff(small_db):
     dev = idx.as_device_arrays()
     q_codes = jnp.zeros((1, 4), dtype=jnp.int32)
     q_valid = jnp.zeros((1, 4), dtype=bool)
-    _, valid = probe_index(dev["offsets"], dev["positions"], q_codes, q_valid,
-                           jnp.int32(idx.max_occ_cutoff))
+    _, _, valid = probe_index(dev["offsets"], dev["pos_rid"], dev["pos_loc"],
+                              q_codes, q_valid,
+                              jnp.int32(idx.max_occ_cutoff))
     assert not np.asarray(valid).any()
     # cutoff of 0 drops every slot
-    _, valid = probe_index(dev["offsets"], dev["positions"], q_codes,
-                           jnp.ones((1, 4), dtype=bool), jnp.int32(0))
+    _, _, valid = probe_index(dev["offsets"], dev["pos_rid"], dev["pos_loc"],
+                              q_codes, jnp.ones((1, 4), dtype=bool),
+                              jnp.int32(0))
     assert not np.asarray(valid).any()
 
 
@@ -110,3 +115,17 @@ def test_global_to_read(small_db):
     rid, off = global_to_read(starts, lengths, gpos)
     assert rid.tolist() == [0, 3, small_db.n_reads - 1]
     assert off.tolist() == [0, 5, 0]
+
+
+def test_device_build_matches_numpy(small_db):
+    """The device counting-sort build == the NumPy reference build."""
+    for k in (6, 9):
+        a = build_index(small_db.codes, small_db.starts, small_db.lengths,
+                        k=k, device=False)
+        b = build_index(small_db.codes, small_db.starts, small_db.lengths,
+                        k=k, device=True)
+        assert np.array_equal(a.offsets, b.offsets)
+        assert np.array_equal(a.positions, b.positions)
+        assert np.array_equal(a.pos_rid, b.pos_rid)
+        assert np.array_equal(a.pos_loc, b.pos_loc)
+        assert a.max_occ_cutoff == b.max_occ_cutoff

@@ -46,7 +46,7 @@ def valid_set(out):
 def test_shard_index_partitions(setup):
     db, idx, *_ = setup
     for n_hash in (2, 4):
-        off_sh, pos_pad, lo = shard_index_by_hash(idx, n_hash)
+        off_sh, rid_sh, loc_sh, lo = shard_index_by_hash(idx, n_hash)
         spp = (len(idx.offsets) - 1) // n_hash
         total = 0
         for h in range(n_hash):
@@ -54,8 +54,8 @@ def test_shard_index_partitions(setup):
             total += cnt
             # shard h's slice reproduces the global CSR for its code range
             a = int(idx.offsets[h * spp])
-            assert np.array_equal(pos_pad[h, :cnt],
-                                  idx.positions[a:a + cnt])
+            assert np.array_equal(rid_sh[h, :cnt], idx.pos_rid[a:a + cnt])
+            assert np.array_equal(loc_sh[h, :cnt], idx.pos_loc[a:a + cnt])
             assert np.array_equal(off_sh[h] + a,
                                   idx.offsets[h * spp:(h + 1) * spp + 1])
         assert total == len(idx.positions)
@@ -67,15 +67,15 @@ def test_sharded_matches_single_device(setup):
     single = overlap_step(
         jnp.asarray(bases), jnp.asarray(lens), jnp.asarray(self_id),
         jnp.asarray(db.codes), jnp.asarray(idx.offsets),
-        jnp.asarray(idx.positions),
+        jnp.asarray(idx.pos_rid), jnp.asarray(idx.pos_loc),
         jnp.asarray(idx.read_starts), jnp.asarray(idx.read_lengths),
         jnp.int32(idx.max_occ_cutoff), **CFG)
 
     mesh = make_mesh(n_data=4, n_hash=2)
-    off_sh, pos_pad, lo = shard_index_by_hash(idx, 2)
+    off_sh, rid_sh, loc_sh, lo = shard_index_by_hash(idx, 2)
     step = sharded_overlap_step(mesh, **CFG)
     args = place_sharded_inputs(
-        mesh, bases, lens, self_id, db.codes, off_sh, pos_pad, lo,
+        mesh, bases, lens, self_id, db.codes, off_sh, rid_sh, loc_sh, lo,
         idx.read_starts, idx.read_lengths, np.int32(idx.max_occ_cutoff))
     sharded = step(*args)
 
@@ -92,10 +92,10 @@ def test_sharded_matches_single_device(setup):
 def test_sharded_hash4(setup):
     db, idx, bases, lens, self_id = setup
     mesh = make_mesh(n_data=2, n_hash=4)
-    off_sh, pos_pad, lo = shard_index_by_hash(idx, 4)
+    off_sh, rid_sh, loc_sh, lo = shard_index_by_hash(idx, 4)
     step = sharded_overlap_step(mesh, **CFG)
     args = place_sharded_inputs(
-        mesh, bases, lens, self_id, db.codes, off_sh, pos_pad, lo,
+        mesh, bases, lens, self_id, db.codes, off_sh, rid_sh, loc_sh, lo,
         idx.read_starts, idx.read_lengths, np.int32(idx.max_occ_cutoff))
     out = step(*args)
     assert int(np.asarray(out.valid).sum()) > 0
