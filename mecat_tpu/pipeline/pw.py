@@ -207,7 +207,13 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
 def run_pw(reads_path: str, out_path: str, wrk_dir: str,
            opts: Optional[PwOptions] = None, db: Optional[PackedDB] = None
            ) -> PwStats:
-    """Full mecat2pw run: volumes × volumes, M4/candidate file out."""
+    """Full mecat2pw run: volumes × volumes, M4/candidate file out.
+
+    Failure recovery (SURVEY.md §5): each volume pair writes an idempotent
+    shard file ``<wrk>/pw_v{i}_v{j}.txt`` (atomic rename); a rerun skips
+    completed shards and only re-processes the missing ones — the same
+    artifact-granularity resume contract as the reference's volume files.
+    """
     opts = opts or PwOptions()
     os.makedirs(wrk_dir, exist_ok=True)
     t0 = time.time()
@@ -215,27 +221,53 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
         db = PackedDB.from_fasta(reads_path)
     stats = PwStats(reads=db.n_reads)
     vols = db.split_volumes(opts.volume_bases)
+    from ..utils.metrics import Metrics, profile_scope
+    met = Metrics("pw")
     log.info("pw: %d reads, %d bases, %d volume(s)", db.n_reads,
              db.total_bases, len(vols))
 
-    with open(out_path, "w") as fh:
+    shard_paths = []
+    with profile_scope("pw"):
         for vi, (va, vb) in enumerate(vols):
+            pending = [vj for vj in range(vi, len(vols))
+                       if not os.path.exists(
+                           os.path.join(wrk_dir, f"pw_v{vi}_v{vj}.txt"))]
+            shard_paths += [os.path.join(wrk_dir, f"pw_v{vi}_v{vj}.txt")
+                            for vj in range(vi, len(vols))]
+            if not pending:
+                continue
             vol_db = db.subset(range(va, vb))
-            idx = build_index(vol_db.codes, vol_db.starts, vol_db.lengths,
-                              k=opts.kmer_size)
-            dev = idx.as_device_arrays()
+            with met.stage("index_build", volume=vi):
+                idx = build_index(vol_db.codes, vol_db.starts,
+                                  vol_db.lengths, k=opts.kmer_size)
+                dev = idx.as_device_arrays()
             L_target = bucket_length(int(vol_db.lengths.max()))
-            for vj in range(vi, len(vols)):
+            for vj in pending:
                 qa, qb = vols[vj]
+                shard = os.path.join(wrk_dir, f"pw_v{vi}_v{vj}.txt")
                 L_query = bucket_length(int(db.lengths[qa:qb].max()))
-                for bs in range(qa, qb, opts.scan_batch):
-                    qids = list(range(bs, min(qb, bs + opts.scan_batch)))
-                    m4s, cands = process_query_batch(
-                        db, va, dev, idx.max_occ_cutoff, qids, opts, vol_db,
-                        stats, L_query, L_target)
-                    fh.write(format_block(m4s))
-                    fh.write(format_block(cands))
-                log.info("pw: volume %d vs %d done (%d candidates, %d overlaps)",
-                         vi, vj, stats.candidates, stats.overlaps)
+                with met.stage("volume_pair", vi=vi, vj=vj), \
+                        open(shard + ".tmp", "w") as fh:
+                    for bs in range(qa, qb, opts.scan_batch):
+                        qids = list(range(bs, min(qb, bs + opts.scan_batch)))
+                        m4s, cands = process_query_batch(
+                            db, va, dev, idx.max_occ_cutoff, qids, opts,
+                            vol_db, stats, L_query, L_target)
+                        fh.write(format_block(m4s))
+                        fh.write(format_block(cands))
+                os.replace(shard + ".tmp", shard)
+                log.info("pw: volume %d vs %d done (%d candidates, "
+                         "%d overlaps)", vi, vj, stats.candidates,
+                         stats.overlaps)
+
+    with open(out_path, "wb") as out:
+        for p in shard_paths:
+            with open(p, "rb") as fh:
+                out.write(fh.read())
     stats.seconds = time.time() - t0
+    met.set("reads", stats.reads)
+    met.set("candidates", stats.candidates)
+    met.set("overlaps", stats.overlaps)
+    met.set("overlaps_per_s", stats.overlaps / max(stats.seconds, 1e-9))
+    met.emit_summary()
     return stats

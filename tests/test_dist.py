@@ -1,0 +1,73 @@
+"""Distributed pw driver vs the single-device pipeline (virtual 8-dev mesh).
+
+BASELINE config-5 shape: mesh-sharded overlap detection with per-host shard
+files and a deterministic merge, compared against run_pw for agreement
+(identical modulo candidate tie-breaking, as the M4 contract allows).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from mecat_tpu.io.fasta import write_fasta
+from mecat_tpu.io.m4 import read_m4
+from mecat_tpu.parallel.dist import run_pw_dist
+from mecat_tpu.pipeline.pw import PwOptions, run_pw
+from mecat_tpu.utils.sim import random_genome, simulate_reads
+
+
+@pytest.fixture(scope="module")
+def sim(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dist")
+    genome = random_genome(15000, seed=31)
+    db, _ = simulate_reads(genome, 32, mean_len=2200, min_len=1200,
+                           seed=32, error_rate=0.08)
+    reads = str(d / "reads.fasta")
+    write_fasta(reads, [(db.name(i), db.read(i)) for i in range(db.n_reads)])
+    return d, reads, db
+
+
+OPTS = dict(task=1, kmer_size=9, scan_stride=4, min_align_size=500,
+            num_candidates=8, scan_batch=4, extend_batch=64,
+            align_segment=128, align_band=64, min_block_score=2)
+
+
+def _pairs(path):
+    return {(r.qid, r.sid, r.sstrand) for r in read_m4(path)}
+
+
+def test_dist_pw_matches_single(sim):
+    d, reads, db = sim
+    single_out = str(d / "single.m4")
+    run_pw(reads, single_out, str(d / "wrk_s"), PwOptions(**OPTS), db=db)
+    dist_out = str(d / "dist.m4")
+    stats = run_pw_dist(reads, dist_out, str(d / "wrk_d"),
+                        PwOptions(**OPTS), n_data=4, n_hash=2, db=db)
+    assert os.path.exists(dist_out)
+    s, m = _pairs(single_out), _pairs(dist_out)
+    assert stats.overlaps == len(m) > 0
+    inter = len(s & m)
+    # the dist driver keeps top-n candidates PER STRAND (the fused sharded
+    # step scans one orientation per launch) vs the host pipeline's top-n
+    # across both strands: dist must recover ~everything single finds, and
+    # its extras are additional true candidates, not noise
+    assert inter / max(1, len(s)) >= 0.98, (len(s), len(m), inter)
+    assert inter / max(1, len(m)) >= 0.7
+    # coordinates agree for shared pairs
+    by_key_s = {(r.qid, r.sid, r.sstrand): r for r in read_m4(single_out)}
+    by_key_m = {(r.qid, r.sid, r.sstrand): r for r in read_m4(dist_out)}
+    close = 0
+    shared = list(s & m)
+    for k in shared:
+        a, b = by_key_s[k], by_key_m[k]
+        if (abs(a.qstart - b.qstart) <= 64 and abs(a.qend - b.qend) <= 64
+                and abs(a.sstart - b.sstart) <= 64
+                and abs(a.send - b.send) <= 64):
+            close += 1
+    assert close / max(1, len(shared)) >= 0.9
+
+
+def test_dist_pw_shard_files(sim):
+    d, reads, db = sim
+    wrk = str(d / "wrk_d")  # reuse the run above
+    assert os.path.exists(os.path.join(wrk, "pw_shard_p0.m4"))

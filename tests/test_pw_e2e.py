@@ -109,3 +109,17 @@ def test_cli(sim_setup):
                "--align-band", "64"])
     assert rc == 0
     assert len(list(read_m4(out))) > 0
+
+
+def test_pw_resume_skips_completed_shards(sim_setup):
+    """Rerunning with existing volume-pair shards reprocesses nothing and
+    reproduces the merged output byte-for-byte (SURVEY.md §5 resume)."""
+    tmp, reads, db, truths = sim_setup
+    out = str(tmp / "resume.m4")
+    wrk = str(tmp / "w_resume")
+    s1 = run_pw(reads, out, wrk, PwOptions(task=1, **OPTS))
+    first = open(out, "rb").read()
+    assert s1.candidates > 0
+    s2 = run_pw(reads, out, wrk, PwOptions(task=1, **OPTS))
+    assert s2.candidates == 0 and s2.extended == 0  # all shards skipped
+    assert open(out, "rb").read() == first
