@@ -253,10 +253,9 @@ def traceback_ops(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
     half = W // 2
     MAXC = 2 * S + W
     flat = moves.reshape(S * Wp, B)
-    rows_idx = jnp.arange(B, dtype=jnp.int32)
 
-    def body(step, state):
-        i, w, n, ops, qi, tj = state
+    def body(state, _):
+        i, w, n = state
         j = i - half + w
         in_dp = i > 0
         tail_del = (i == 0) & (j > 0)   # leading target deletions at row 0
@@ -269,27 +268,24 @@ def traceback_ops(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
                        jnp.where(mv == MOVE_HORIZ, -1, 0))
         # tail deletions: i stays 0, j decreases => w decreases
         dw = jnp.where(in_dp, dw, -1)
-        col_qi = jnp.where(is_diag | (mv == MOVE_VERT), i - 1, -1)
-        col_tj = jnp.where(is_diag, j - 1,
-                           jnp.where(mv == MOVE_VERT, j, j - 1))
-        slot = jnp.where(active, MAXC - 1 - step, MAXC - 1)
-        ops = ops.at[rows_idx, slot].set(
-            jnp.where(active, mv, ops[rows_idx, slot]))
-        qi = qi.at[rows_idx, slot].set(
-            jnp.where(active, col_qi, qi[rows_idx, slot]))
-        tj = tj.at[rows_idx, slot].set(
-            jnp.where(active, col_tj, tj[rows_idx, slot]))
+        col_qi = jnp.where(active & (is_diag | (mv == MOVE_VERT)), i - 1, -1)
+        col_tj = jnp.where(active,
+                           jnp.where(mv == MOVE_VERT, j, j - 1), -1)
         i2 = jnp.where(active & in_dp, i - di, i)
         w2 = jnp.where(active, w + dw, w)
         n2 = jnp.where(active, n + 1, n)
-        return (i2, w2, n2, ops, qi, tj)
+        # step s emits forward column n-1-s; scan stacks outputs (no
+        # scatters in the loop body), the flip below right-aligns them —
+        # the fori_loop + .at[] formulation measured ~100x slower.
+        return (i2, w2, n2), (mv, col_qi, col_tj)
 
     zeros = jnp.zeros((B,), jnp.int32)
-    init = (seg_qlen.astype(jnp.int32), w_end, zeros,
-            jnp.full((B, MAXC), -1, jnp.int8),
-            jnp.full((B, MAXC), -1, jnp.int32),
-            jnp.full((B, MAXC), -1, jnp.int32))
-    _, _, n, ops, qi, tj = jax.lax.fori_loop(0, MAXC, body, init)
+    (_, _, n), (mv_s, qi_s, tj_s) = jax.lax.scan(
+        body, (seg_qlen.astype(jnp.int32), w_end.astype(jnp.int32), zeros),
+        None, length=MAXC)
+    ops = jnp.flip(mv_s, axis=0).T          # [B, MAXC], right-aligned
+    qi = jnp.flip(qi_s, axis=0).T
+    tj = jnp.flip(tj_s, axis=0).T
     return ops, qi, tj, n
 
 
@@ -383,16 +379,25 @@ def _extend_direction_impl(q_pad, t_pad, q0, t0, qlen, tlen, *, S, W,
                    & (qoff2 < qlen) & (toff2 < tlen))
         ys = None
         if collect_ops:
-            ops, qi, tj, ncols = traceback_ops(moves, r_end, w_end, W)
-            ys = (ops, qi, tj, jnp.where(ok, ncols, 0), qoff, toff, ok)
+            # store only the packed moves + endpoints here; the tracebacks
+            # of all segments are independent and run BATCHED after the
+            # scan (one vmapped pass over G*B lanes instead of G sequential
+            # MAXC-step loops — the per-segment form measured ~10x slower)
+            ys = (moves, r_end, w_end, qoff, toff, ok)
         return (qoff2, toff2, dist2, m2, a2, active2), ys
 
     zeros = jnp.zeros((B,), jnp.int32)
     init = (zeros, zeros, zeros, zeros, zeros,
             (qlen > 0) & (tlen > 0))
     if collect_ops:
-        (qoff, toff, dist, matches, alen, _), ys = jax.lax.scan(
+        (qoff, toff, dist, matches, alen, _), raw = jax.lax.scan(
             seg_step, init, None, length=max_segs)
+        moves_all, r_end_all, w_end_all, qoff_all, toff_all, ok_all = raw
+        ops, qi, tj, ncols = jax.vmap(
+            lambda m, r, w: traceback_ops(m, r, w, W))(
+            moves_all, r_end_all, w_end_all)
+        ys = (ops, qi, tj, jnp.where(ok_all, ncols, 0),
+              qoff_all, toff_all, ok_all)
     else:
         # early exit once every pair has stopped extending: most pairs use
         # far fewer than max_segs segments, and DP cost scales with the max

@@ -1,0 +1,223 @@
+"""Device-resident pile consensus: op tapes → tag counts → vote, on chip.
+
+The host path (ops/consensus.py) pulls each extension batch's op tapes to
+the host and tallies tags in NumPy.  On this system that transfer IS the
+mecat2cns bottleneck: ~80 MB of tapes per 128-pair batch over a ~8 MB/s
+device tunnel measured 115 s of a 118 s consensus batch — 30x the device
+alignment time.  This module keeps the whole tag pipeline on device:
+
+1. scatter each direction's right-aligned per-segment tapes into one
+   template-forward column stream per pair (fixed [B, CW]);
+2. vectorised tag derivation (insertion anchors via cummax, deltas, bases)
+   — the same math as ops/consensus.columns_to_tags;
+3. scatter-add tags into a persistent per-template counts buffer
+   [T, L, D1, 5] plus a coverage diff buffer (donated across batches);
+4. majority vote + insertion prefix rule on device
+   (mirroring CnsTable.call), returning only the tiny emit/coverage arrays
+   to the host for final segment splitting and FASTA output.
+
+Differential tests (tests/test_cns_device.py) assert exact agreement with
+the host CnsTable path on the same alignments.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from .align import MOVE_HORIZ, MOVE_VERT
+from .consensus import GAP
+
+
+def _stream_one_direction(tapes, qseed, tseed, reverse: bool):
+    """One direction's tapes → (ops, qpos, tpos, slot, n_total) flat views.
+
+    Returns per-column arrays shaped [B, G*MAXC] (stored layout order) plus
+    the in-stream slot of every column (template-forward compaction), and
+    the per-pair total column count.
+    """
+    ops, qi, tj, n, qo, to, ok = tapes
+    G, B, MAXC = ops.shape
+    n = n.astype(jnp.int32)                                   # [G, B]
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (G, B, MAXC), 2)
+    col_valid = c_idx >= (MAXC - n[:, :, None])
+
+    if not reverse:
+        # forward order: segments ascending, stored order within segment
+        f = c_idx - (MAXC - n[:, :, None])
+        seg_base = jnp.cumsum(n, axis=0) - n                  # [G, B]
+        qpos = jnp.where(qi >= 0,
+                         qseed[None, :, None] + qo[:, :, None] + qi, -1)
+        tpos = tseed[None, :, None] + to[:, :, None] + tj
+    else:
+        # left tapes: template-forward = reversed segment order, reversed
+        # within segment (ops/consensus.tapes_to_columns left branch)
+        f = MAXC - 1 - c_idx
+        total = jnp.sum(n, axis=0)                            # [B]
+        seg_base = total[None, :] - jnp.cumsum(n, axis=0)     # [G, B]
+        qpos = jnp.where(qi >= 0,
+                         qseed[None, :, None] - 1
+                         - (qo[:, :, None] + qi), -1)
+        tpos = tseed[None, :, None] - 1 - (to[:, :, None] + tj)
+
+    slot = jnp.where(col_valid, seg_base[:, :, None] + f, -1)
+    n_total = jnp.sum(n, axis=0)                              # [B]
+    flat = lambda a: jnp.swapaxes(a, 0, 1).reshape(B, G * MAXC)
+    return (flat(ops.astype(jnp.int32)), flat(qpos), flat(tpos), flat(slot),
+            n_total)
+
+
+def _build_streams(right_t, left_t, qseed, tseed, CW: int):
+    """Both directions → template-forward column streams [B, CW].
+
+    (ops, qpos) travel packed as one scattered word — (qpos+1)*4 + ops, -1
+    when empty — halving the scatter count of the compaction (the dominant
+    cost of this function on v5e).
+    """
+    l_ops, l_qpos, l_tpos, l_slot, l_n = _stream_one_direction(
+        left_t, qseed, tseed, reverse=True)
+    r_ops, r_qpos, r_tpos, r_slot, _ = _stream_one_direction(
+        right_t, qseed, tseed, reverse=False)
+    B = l_ops.shape[0]
+
+    oq_s = jnp.full((B, CW), -1, jnp.int32)
+    tpos_s = jnp.full((B, CW), -1, jnp.int32)
+
+    def pack(ops, qpos):
+        return jnp.where(ops >= 0, (qpos + 1) * 4 + ops, -1)
+
+    def scat(dst, src, slot):
+        # invalid/overflow slots fall out of range and are dropped (the CW
+        # bound guarantees real columns fit: cols <= q advance + t advance)
+        slot = jnp.where(slot >= 0, slot, CW)
+        return dst.at[jnp.arange(B)[:, None], slot].set(src, mode="drop")
+
+    # left stream occupies [0, l_n); right follows at l_n
+    oq_s = scat(oq_s, pack(l_ops, l_qpos), l_slot)
+    tpos_s = scat(tpos_s, l_tpos, l_slot)
+    r_slot_g = jnp.where(r_slot >= 0, r_slot + l_n[:, None], -1)
+    oq_s = scat(oq_s, pack(r_ops, r_qpos), r_slot_g)
+    tpos_s = scat(tpos_s, r_tpos, r_slot_g)
+
+    ops_s = jnp.where(oq_s >= 0, oq_s & 3, -1)
+    qpos_s = jnp.where(oq_s >= 0, (oq_s >> 2) - 1, -1)
+    return ops_s, qpos_s, tpos_s
+
+
+@partial(jax.jit, static_argnames=("L_t", "max_delta"), donate_argnums=(0, 1))
+def accumulate_tags(counts: jnp.ndarray,        # int32 [T, L_t, D1, 5]
+                    cov_diff: jnp.ndarray,      # int32 [T, L_t + 1]
+                    right_t, left_t,
+                    qseed: jnp.ndarray,         # int32 [B]
+                    tseed: jnp.ndarray,
+                    support: jnp.ndarray,       # uint8 [B, L_s] oriented
+                    qlen: jnp.ndarray,          # int32 [B]
+                    tlen: jnp.ndarray,          # int32 [B] template length
+                    t_slot: jnp.ndarray,        # int32 [B] row in counts
+                    pair_ok: jnp.ndarray,       # bool [B]
+                    tbeg: jnp.ndarray, tend: jnp.ndarray,
+                    *, L_t: int,
+                    max_delta: int = C.MAX_INS_DELTA
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold one extension batch's alignments into the device tag tables."""
+    G, B, MAXC = right_t[0].shape
+    D1 = max_delta + 1
+    # total alignment columns <= query advance + template advance
+    L_s = support.shape[1]
+    CW = min(2 * G * MAXC, -(-(L_s + L_t + 2) // 128) * 128)
+    ops_s, qpos_s, tpos_s = _build_streams(right_t, left_t, qseed, tseed, CW)
+
+    cw = jnp.arange(CW, dtype=jnp.int32)[None, :]
+    valid_col = ops_s >= 0
+    is_ins = ops_s == MOVE_VERT
+    non_ins = valid_col & ~is_ins
+    last_non_ins = jax.lax.cummax(jnp.where(non_ins, cw, -1), axis=1)
+    # anchor tpos without a gather: non-ins template positions are
+    # non-decreasing along the forward stream, so a running max IS the most
+    # recent one
+    anchor_tpos = jax.lax.cummax(jnp.where(non_ins, tpos_s, -1), axis=1)
+    pos = jnp.where(is_ins, anchor_tpos, tpos_s)
+    pos = jnp.where(is_ins & (last_non_ins < 0), -1, pos)
+    delta = jnp.where(is_ins, cw - last_non_ins, 0)
+    base_q = jnp.take_along_axis(
+        support.astype(jnp.int32),
+        jnp.clip(qpos_s, 0, jnp.maximum(qlen - 1, 0)[:, None]), axis=1)
+    base = jnp.where(ops_s == MOVE_HORIZ, GAP, base_q)
+
+    keep = (valid_col & pair_ok[:, None]
+            & (pos >= 0) & (pos < tlen[:, None])
+            & (delta <= max_delta))
+    flat_idx = (((t_slot[:, None] * L_t + pos) * D1 + delta) * 5 + base)
+    T = counts.shape[0]
+    flat_idx = jnp.where(keep, flat_idx, T * L_t * D1 * 5)
+    counts = counts.reshape(-1).at[flat_idx.reshape(-1)].add(
+        keep.reshape(-1).astype(jnp.int32), mode="drop").reshape(counts.shape)
+
+    # coverage diff: +1 at clip(tbeg), -1 at min(tend, tlen), when b > a
+    a = jnp.clip(tbeg, 0, L_t)
+    b = jnp.clip(jnp.minimum(tend, tlen), 0, L_t)
+    span_ok = pair_ok & (b > a)
+    rows = jnp.where(span_ok, t_slot, counts.shape[0])
+    cov_diff = cov_diff.at[rows, a].add(1, mode="drop")
+    cov_diff = cov_diff.at[rows, b].add(-1, mode="drop")
+    return counts, cov_diff
+
+
+@partial(jax.jit, static_argnames=())
+def call_tables(counts: jnp.ndarray,        # int32 [T, L, D1, 5]
+                cov_diff: jnp.ndarray,      # int32 [T, L + 1]
+                template: jnp.ndarray,      # uint8 [T, L] padded bases
+                tlen: jnp.ndarray,          # int32 [T]
+                has_support: jnp.ndarray,   # bool [T]
+                min_coverage: jnp.ndarray):
+    """Device replica of CnsTable.call's vote stage.
+
+    Returns (emit int32 [T, L, D1] base code or -1, cov_ok bool [T, L]) —
+    the host performs the final low-coverage segment splitting (tiny data).
+    """
+    T, L, D1, _ = counts.shape
+    l_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_read = l_idx < tlen[:, None]
+    # template self-votes (CnsTable.add_template_votes), only where a
+    # support produced a table in the host semantics
+    counts = counts.at[
+        jnp.arange(T)[:, None], l_idx, 0, template.astype(jnp.int32)].add(
+        (in_read & has_support[:, None]).astype(jnp.int32))
+
+    coverage = jnp.cumsum(cov_diff[:, :L], axis=1)
+    cov_ok = (coverage >= min_coverage) & in_read & has_support[:, None]
+    base_win = jnp.argmax(counts[:, :, 0, :], axis=2)         # [T, L]
+    ins_tot = jnp.sum(counts[:, :, 1:, :4], axis=3)           # [T, L, D1-1]
+    ins_win = jnp.argmax(counts[:, :, 1:, :4], axis=3)
+    ins_emit = jnp.cumprod(
+        (ins_tot * 2 > jnp.maximum(coverage, 1)[:, :, None]).astype(
+            jnp.int32), axis=2).astype(bool)
+
+    emit = jnp.full((T, L, D1), -1, jnp.int32)
+    emit = emit.at[:, :, 0].set(
+        jnp.where(cov_ok & (base_win != GAP), base_win, -1))
+    emit = emit.at[:, :, 1:].set(
+        jnp.where(cov_ok[:, :, None] & ins_emit, ins_win, -1))
+    return emit, cov_ok
+
+
+def split_called(emit_row, cov_ok_row, tlen: int, min_length: int):
+    """Host tail of CnsTable.call: split the emitted bases at low-coverage
+    template positions.  emit_row [L, D1] int32, cov_ok_row [L] bool."""
+    import numpy as np
+
+    emit_row = np.asarray(emit_row)[:tlen]
+    cov_ok_row = np.asarray(cov_ok_row)[:tlen]
+    D1 = emit_row.shape[1]
+    seg_id = np.repeat(np.cumsum(~cov_ok_row), D1)
+    flat = emit_row.reshape(-1)
+    mask = flat >= 0
+    bases = flat[mask].astype(np.uint8)
+    segs = seg_id[mask]
+    if len(bases) == 0:
+        return []
+    cut = np.nonzero(np.diff(segs))[0] + 1
+    return [s for s in np.split(bases, cut) if len(s) >= min_length]

@@ -196,6 +196,124 @@ def correct_batch(db: PackedDB, templates: List[int],
     return out
 
 
+def correct_batch_device(db: PackedDB, templates: List[int],
+                         by_template: Dict[int, List[Support]],
+                         opts: CnsOptions, stats: CnsStats
+                         ) -> List[Tuple[str, np.ndarray]]:
+    """Device-resident variant of :func:`correct_batch`.
+
+    Same alignments, but tags are tallied and voted ON DEVICE
+    (ops/consensus_device.py) — the host path's per-batch op-tape pull
+    (~80 MB over this system's ~8 MB/s device tunnel) was 30x the device
+    alignment time.  Only per-pair filter scalars and the final int8
+    emit/coverage arrays cross the tunnel.
+    """
+    from .. import constants as C
+    from ..ops.consensus_device import (accumulate_tags, call_tables,
+                                        split_called)
+    import jax.numpy as jnp
+
+    pairs = []  # (template, support, dir, spos, tpos)
+    for t in templates:
+        sups = by_template.get(t, [])
+        sups = sorted(sups, key=lambda x: -x[4])[:opts.max_supports]
+        for s, sdir, spos, tpos, score in sups:
+            pairs.append((t, s, sdir, spos, tpos))
+    if not pairs:
+        return []
+
+    T = len(templates)
+    slot_of = {t: i for i, t in enumerate(templates)}
+    L_t = bucket_length(max(int(db.lengths[t]) for t in templates))
+    L_s = bucket_length(max(int(db.lengths[p[1]]) for p in pairs))
+    S, W = opts.align_segment, opts.align_band
+    msegs = max_segs_for(max(L_t, L_s), S)
+    P = opts.extend_batch
+    D1 = C.MAX_INS_DELTA + 1
+
+    counts = jnp.zeros((T, L_t, D1, 5), jnp.int32)
+    cov_diff = jnp.zeros((T, L_t + 1), jnp.int32)
+    has_support = np.zeros(T, dtype=bool)
+    tmpl_mat, tmpl_len = db.padded_batch(templates, pad_to=L_t)
+
+    for ofs in range(0, len(pairs), P):
+        chunk = pairs[ofs:ofs + P]
+        n = len(chunk)
+        q_b = np.zeros((n, L_s), dtype=np.uint8)
+        t_b = np.zeros((n, L_t), dtype=np.uint8)
+        qlen = np.zeros(n, np.int32)
+        tlen = np.zeros(n, np.int32)
+        qs = np.zeros(n, np.int32)
+        ts = np.zeros(n, np.int32)
+        t_slot = np.zeros(n, np.int32)
+        for i, (t, s, sdir, spos, tpos) in enumerate(chunk):
+            sb = _oriented(db, s, sdir)[:L_s]
+            tb = db.read(t)[:L_t]
+            q_b[i, :len(sb)] = sb
+            t_b[i, :len(tb)] = tb
+            qlen[i], tlen[i] = len(sb), len(tb)
+            qs[i] = min(max(spos, 0), len(sb) - 1)
+            ts[i] = min(max(tpos, 0), len(tb) - 1)
+            t_slot[i] = slot_of[t]
+        q_p, t_p, qlen_p, tlen_p, qs_p, ts_p, t_slot_p = pad_to_batch(
+            [q_b, t_b, qlen, tlen, qs, ts, t_slot], P)
+        q_dev = jnp.asarray(q_p)
+        qs_dev = jnp.asarray(qs_p)
+        ts_dev = jnp.asarray(ts_p)
+        pa, right_t, left_t = extend_pair_batch_with_ops(
+            q_dev, jnp.asarray(t_p), jnp.asarray(qlen_p),
+            jnp.asarray(tlen_p), qs_dev, ts_dev, S=S, W=W, max_segs=msegs)
+        stats.supports_aligned += n
+
+        # per-pair filters: tiny [P] pulls
+        ident = np.asarray(pa.identity)
+        tbeg = np.asarray(pa.tbeg)
+        tend = np.asarray(pa.tend)
+        ratio = ((np.asarray(pa.qend) - np.asarray(pa.qbeg))
+                 / np.maximum(1, qlen_p))
+        keep = ((ident >= opts.min_identity)
+                & ((tend - tbeg) >= opts.min_align_size)
+                & (ratio >= opts.min_mapping_ratio))
+        keep[n:] = False
+        has_support[t_slot_p[keep]] = True
+        counts, cov_diff = accumulate_tags(
+            counts, cov_diff, right_t, left_t, qs_dev, ts_dev, q_dev,
+            jnp.asarray(qlen_p), jnp.asarray(tlen_p),
+            jnp.asarray(t_slot_p), jnp.asarray(keep), pa.tbeg, pa.tend,
+            L_t=L_t)
+
+    emit, cov_ok = call_tables(counts, cov_diff, jnp.asarray(tmpl_mat),
+                               jnp.asarray(tmpl_len),
+                               jnp.asarray(has_support),
+                               jnp.int32(opts.min_coverage))
+    emit = np.asarray(emit.astype(jnp.int8))
+    cov_ok = np.asarray(cov_ok)
+
+    out: List[Tuple[str, np.ndarray]] = []
+    for i, t in enumerate(templates):
+        stats.templates += 1
+        if not has_support[i]:
+            continue
+        segs = split_called(emit[i], cov_ok[i], int(db.lengths[t]),
+                            opts.min_length)
+        for k, seg in enumerate(segs):
+            out.append((f"{db.name(t)}_{k}", seg))
+            stats.corrected_reads += 1
+            stats.corrected_bases += len(seg)
+    return out
+
+
+def _pick_correct_batch():
+    """Device tag path on TPU (tunnel-bound otherwise); host path elsewhere
+    or with MECAT_TPU_HOST_CNS=1."""
+    import jax
+
+    if (os.environ.get("MECAT_TPU_HOST_CNS") != "1"
+            and jax.default_backend() == "tpu"):
+        return correct_batch_device
+    return correct_batch
+
+
 def run_cns(input_path: str, reads_path: str, out_path: str,
             opts: Optional[CnsOptions] = None,
             db: Optional[PackedDB] = None) -> CnsStats:
@@ -206,13 +324,13 @@ def run_cns(input_path: str, reads_path: str, out_path: str,
     stats = CnsStats()
     by_template = load_supports(input_path, db, opts.input_type)
     templates = sorted(by_template)
+    correct = _pick_correct_batch()
     log.info("cns: %d reads, %d templates with supports", db.n_reads,
              len(templates))
     with open(out_path, "wb") as fh:
         for ofs in range(0, len(templates), opts.partition_size):
             batch = templates[ofs:ofs + opts.partition_size]
-            for name, seg in correct_batch(db, batch, by_template, opts,
-                                           stats):
+            for name, seg in correct(db, batch, by_template, opts, stats):
                 fh.write(format_fasta(name, seg))
             log.info("cns: %d/%d templates, %d corrected reads",
                      min(ofs + opts.partition_size, len(templates)),

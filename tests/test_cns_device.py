@@ -1,0 +1,58 @@
+"""Device tag-voting consensus vs the host CnsTable path: exact agreement.
+
+correct_batch_device moves the tag tally + vote on device (the op-tape
+device→host pull is the cns bottleneck on this system); it must reproduce
+the host path's corrected reads exactly — same alignments, same vote rules.
+"""
+import numpy as np
+import pytest
+
+from mecat_tpu.pipeline.cns import (CnsOptions, CnsStats, correct_batch,
+                                    correct_batch_device, load_supports)
+from mecat_tpu.pipeline.pw import PwOptions, run_pw
+from mecat_tpu.io.fasta import write_fasta
+from mecat_tpu.utils.sim import random_genome, simulate_reads
+
+
+@pytest.fixture(scope="module")
+def pile(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cnsdev")
+    genome = random_genome(9000, seed=51)
+    db, _ = simulate_reads(genome, 28, mean_len=1800, min_len=1000,
+                           seed=52, error_rate=0.1)
+    reads = str(d / "r.fa")
+    write_fasta(reads, [(db.name(i), db.read(i)) for i in range(db.n_reads)])
+    cand = str(d / "c.txt")
+    run_pw(reads, cand, str(d / "w"),
+           PwOptions(task=0, kmer_size=9, scan_stride=4, num_candidates=12,
+                     scan_batch=8, min_block_score=2), db=db)
+    by_t = load_supports(cand, db, 0)
+    return db, by_t
+
+
+def test_device_matches_host(pile):
+    db, by_t = pile
+    templates = sorted(by_t)
+    opts = CnsOptions(min_align_size=300, min_length=500, extend_batch=32,
+                      align_segment=128, align_band=64)
+    host = correct_batch(db, templates, by_t, opts, CnsStats())
+    dev = correct_batch_device(db, templates, by_t, opts, CnsStats())
+    assert len(host) > 0
+    host_d = {n: s for n, s in host}
+    dev_d = {n: s for n, s in dev}
+    assert set(host_d) == set(dev_d)
+    for n in host_d:
+        assert np.array_equal(host_d[n], dev_d[n]), n
+
+
+def test_device_stats_match(pile):
+    db, by_t = pile
+    templates = sorted(by_t)[:8]
+    opts = CnsOptions(min_align_size=300, min_length=500, extend_batch=16,
+                      align_segment=128, align_band=64)
+    sh, sd = CnsStats(), CnsStats()
+    correct_batch(db, templates, by_t, opts, sh)
+    correct_batch_device(db, templates, by_t, opts, sd)
+    assert sh.supports_aligned == sd.supports_aligned
+    assert sh.corrected_reads == sd.corrected_reads
+    assert sh.corrected_bases == sd.corrected_bases
