@@ -107,6 +107,20 @@ def _build_streams(right_t, left_t, qseed, tseed, CW: int):
     return ops_s, qpos_s, tpos_s
 
 
+@partial(jax.jit, static_argnames=("CW",))
+def ops_stream(right_t, left_t, qseed, tseed, CW: int) -> jnp.ndarray:
+    """Forward-ordered alignment op codes per pair, compacted on device.
+
+    int8 [B, CW]: ops (0..3) in template-forward order starting at slot 0,
+    -1 beyond the alignment.  This is all mecat2ref needs for exact CIGARs —
+    pulling it costs ~CW bytes/pair vs the ~300 bytes/column of the full op
+    tapes (the tape pull dominated mecat2ref wall time on this system's
+    ~8 MB/s device tunnel).
+    """
+    o, _, _ = _build_streams(right_t, left_t, qseed, tseed, CW)
+    return o.astype(jnp.int8)
+
+
 @partial(jax.jit, static_argnames=("L_t", "max_delta"), donate_argnums=(0, 1))
 def accumulate_tags(counts: jnp.ndarray,        # int32 [T, L_t, D1, 5]
                     cov_diff: jnp.ndarray,      # int32 [T, L_t + 1]

@@ -28,7 +28,7 @@ from ..io.m4 import M4Record
 from ..io.packed_db import PackedDB, revcomp
 from ..io.sam import cigar_from_ops, sam_header, sam_line, sam_unmapped
 from ..ops.align import extend_pair_batch_with_ops
-from ..ops.consensus import tapes_to_columns
+from ..ops.consensus_device import ops_stream
 from ..ops.ddf import scan_candidates
 from ..utils.log import get_logger
 from .common import bucket_length, max_segs_for, oriented_batch, pad_to_batch
@@ -141,7 +141,13 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
         args = pad_to_batch([q_b, t_b, qlen_b, tlen_b, qs_b, ts_b], P)
         pa, right_t, left_t = extend_pair_batch_with_ops(
             *(jnp.asarray(a) for a in args), S=S, W=W, max_segs=msegs)
-        cols = tapes_to_columns(right_t, left_t, args[4], args[5], n_pairs=n)
+        # compact the op streams on device; pull int8 codes only — pulling
+        # the full (ops, qi, tj) tapes dominated mecat2ref wall time over
+        # this system's slow device tunnel
+        CW = -(-(L_q + L_win + 2) // 128) * 128
+        ops_np = np.asarray(ops_stream(
+            right_t, left_t, jnp.asarray(args[4]), jnp.asarray(args[5]),
+            CW=CW))
         ident = np.asarray(pa.identity)[:n]
         matches = np.asarray(pa.matches)[:n]
         qbeg = np.asarray(pa.qbeg)[:n]
@@ -153,9 +159,11 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
             if span < opts.min_align_size or ident[i] < opts.min_identity:
                 continue
             m = int(matches[i])
+            row_ops = ops_np[i]
+            row_ops = row_ops[:int((row_ops >= 0).sum())]  # compact prefix
             payload = (strand, contig, win0, int(qbeg[i]), int(qend[i]),
                        int(tbeg[i]), int(tend[i]), float(ident[i]),
-                       int(score), cols[i][0])
+                       int(score), row_ops)
             if row not in best or m > best[row][0]:
                 if row in best:
                     second[row] = best[row][0]
