@@ -113,6 +113,25 @@ def _oriented(db: PackedDB, rid: int, direction: int) -> np.ndarray:
     return revcomp(r) if direction else r
 
 
+def _orient_rows(rows, lens, flip):
+    """Device row-wise orient: reverse-complement rows where flip==1.
+
+    rows uint8 [B, L] forward bases left-padded at 0; lens int32 [B];
+    flip int32 [B].  Flipped rows come out as revcomp(rows[:len]) followed
+    by zero padding — identical to the host ``revcomp(read)`` layout.
+    """
+    import jax.numpy as jnp
+
+    B, L = rows.shape
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+    src = jnp.where(flip[:, None] == 1,
+                    jnp.clip(lens[:, None] - 1 - col, 0, L - 1), col)
+    g = jnp.take_along_axis(rows, src, axis=1)
+    g = jnp.where(flip[:, None] == 1, 3 - g.astype(jnp.int32),
+                  g.astype(jnp.int32))
+    return jnp.where(col < lens[:, None], g, 0).astype(jnp.uint8)
+
+
 def correct_batch(db: PackedDB, templates: List[int],
                   by_template: Dict[int, List[Support]], opts: CnsOptions,
                   stats: CnsStats) -> List[Tuple[str, np.ndarray]]:
@@ -198,19 +217,21 @@ def correct_batch(db: PackedDB, templates: List[int],
 
 def correct_batch_device(db: PackedDB, templates: List[int],
                          by_template: Dict[int, List[Support]],
-                         opts: CnsOptions, stats: CnsStats
-                         ) -> List[Tuple[str, np.ndarray]]:
+                         opts: CnsOptions, stats: CnsStats,
+                         dev_vol=None) -> List[Tuple[str, np.ndarray]]:
     """Device-resident variant of :func:`correct_batch`.
 
     Same alignments, but tags are tallied and voted ON DEVICE
     (ops/consensus_device.py) — the host path's per-batch op-tape pull
     (~80 MB over this system's ~8 MB/s device tunnel) was 30x the device
-    alignment time.  Only per-pair filter scalars and the final int8
-    emit/coverage arrays cross the tunnel.
+    alignment time.  The volume uploads once (``dev_vol`` caches it across
+    partitions); per chunk only pair ids/seeds go up and nothing comes back
+    until the final int8 emit/coverage arrays.
     """
     from .. import constants as C
     from ..ops.consensus_device import (accumulate_tags, call_tables,
                                         split_called)
+    import jax
     import jax.numpy as jnp
 
     pairs = []  # (template, support, dir, spos, tpos)
@@ -231,63 +252,52 @@ def correct_batch_device(db: PackedDB, templates: List[int],
     P = opts.extend_batch
     D1 = C.MAX_INS_DELTA + 1
 
+    if dev_vol is None:
+        dev_vol = device_volume(db)
+    vol, starts_d, lengths_d = dev_vol
+
     counts = jnp.zeros((T, L_t, D1, 5), jnp.int32)
     cov_diff = jnp.zeros((T, L_t + 1), jnp.int32)
-    has_support = np.zeros(T, dtype=bool)
-    tmpl_mat, tmpl_len = db.padded_batch(templates, pad_to=L_t)
+    has = jnp.zeros(T, dtype=bool)
+    tmpl_ids = jnp.asarray(np.asarray(templates, dtype=np.int32))
+    tmpl_mat = _gather_rows_dev(vol, starts_d, lengths_d, tmpl_ids, L_t)
+    tmpl_len = np.minimum(db.lengths[np.asarray(templates)],
+                          L_t).astype(np.int32)
+
+    # vectorised pair metadata (the per-pair Python loop was host-bound)
+    pairs_a = np.asarray(pairs, dtype=np.int64)     # [N, 5] t s dir spos tpos
+    all_qlen = np.minimum(db.lengths[pairs_a[:, 1]], L_s).astype(np.int32)
+    all_tlen = np.minimum(db.lengths[pairs_a[:, 0]], L_t).astype(np.int32)
+    all_qs = np.clip(pairs_a[:, 3], 0, all_qlen - 1).astype(np.int32)
+    all_ts = np.clip(pairs_a[:, 4], 0, all_tlen - 1).astype(np.int32)
+    all_slot = np.asarray([slot_of[t] for t in pairs_a[:, 0]], np.int32)
 
     for ofs in range(0, len(pairs), P):
-        chunk = pairs[ofs:ofs + P]
-        n = len(chunk)
-        q_b = np.zeros((n, L_s), dtype=np.uint8)
-        t_b = np.zeros((n, L_t), dtype=np.uint8)
-        qlen = np.zeros(n, np.int32)
-        tlen = np.zeros(n, np.int32)
-        qs = np.zeros(n, np.int32)
-        ts = np.zeros(n, np.int32)
-        t_slot = np.zeros(n, np.int32)
-        for i, (t, s, sdir, spos, tpos) in enumerate(chunk):
-            sb = _oriented(db, s, sdir)[:L_s]
-            tb = db.read(t)[:L_t]
-            q_b[i, :len(sb)] = sb
-            t_b[i, :len(tb)] = tb
-            qlen[i], tlen[i] = len(sb), len(tb)
-            qs[i] = min(max(spos, 0), len(sb) - 1)
-            ts[i] = min(max(tpos, 0), len(tb) - 1)
-            t_slot[i] = slot_of[t]
-        q_p, t_p, qlen_p, tlen_p, qs_p, ts_p, t_slot_p = pad_to_batch(
-            [q_b, t_b, qlen, tlen, qs, ts, t_slot], P)
-        q_dev = jnp.asarray(q_p)
-        qs_dev = jnp.asarray(qs_p)
-        ts_dev = jnp.asarray(ts_p)
-        pa, right_t, left_t = extend_pair_batch_with_ops(
-            q_dev, jnp.asarray(t_p), jnp.asarray(qlen_p),
-            jnp.asarray(tlen_p), qs_dev, ts_dev, S=S, W=W, max_segs=msegs)
+        sl = slice(ofs, ofs + P)
+        n = len(pairs_a[sl])
+        real = np.zeros(P, dtype=bool)
+        real[:n] = True
+        s_ids, t_ids, qlen, tlen, qs, ts, t_slot, sdir, real_p = pad_to_batch(
+            [pairs_a[sl, 1].astype(np.int32), pairs_a[sl, 0].astype(np.int32),
+             all_qlen[sl], all_tlen[sl], all_qs[sl], all_ts[sl],
+             all_slot[sl], pairs_a[sl, 2].astype(np.int32), real[:n]], P)
+        counts, cov_diff, has = _cns_chunk_device(
+            counts, cov_diff, has, vol, starts_d, lengths_d,
+            jnp.asarray(s_ids), jnp.asarray(t_ids), jnp.asarray(qlen),
+            jnp.asarray(tlen), jnp.asarray(qs), jnp.asarray(ts),
+            jnp.asarray(t_slot), jnp.asarray(sdir), jnp.asarray(real_p),
+            L_s=L_s, L_t=L_t, S=S, W=W, max_segs=msegs,
+            min_identity=opts.min_identity,
+            min_align_size=opts.min_align_size,
+            min_mapping_ratio=opts.min_mapping_ratio)
         stats.supports_aligned += n
 
-        # per-pair filters: tiny [P] pulls
-        ident = np.asarray(pa.identity)
-        tbeg = np.asarray(pa.tbeg)
-        tend = np.asarray(pa.tend)
-        ratio = ((np.asarray(pa.qend) - np.asarray(pa.qbeg))
-                 / np.maximum(1, qlen_p))
-        keep = ((ident >= opts.min_identity)
-                & ((tend - tbeg) >= opts.min_align_size)
-                & (ratio >= opts.min_mapping_ratio))
-        keep[n:] = False
-        has_support[t_slot_p[keep]] = True
-        counts, cov_diff = accumulate_tags(
-            counts, cov_diff, right_t, left_t, qs_dev, ts_dev, q_dev,
-            jnp.asarray(qlen_p), jnp.asarray(tlen_p),
-            jnp.asarray(t_slot_p), jnp.asarray(keep), pa.tbeg, pa.tend,
-            L_t=L_t)
-
-    emit, cov_ok = call_tables(counts, cov_diff, jnp.asarray(tmpl_mat),
-                               jnp.asarray(tmpl_len),
-                               jnp.asarray(has_support),
+    emit, cov_ok = call_tables(counts, cov_diff, tmpl_mat,
+                               jnp.asarray(tmpl_len), has,
                                jnp.int32(opts.min_coverage))
     emit = np.asarray(emit.astype(jnp.int8))
     cov_ok = np.asarray(cov_ok)
+    has_support = np.asarray(has)
 
     out: List[Tuple[str, np.ndarray]] = []
     for i, t in enumerate(templates):
@@ -301,6 +311,68 @@ def correct_batch_device(db: PackedDB, templates: List[int],
             stats.corrected_reads += 1
             stats.corrected_bases += len(seg)
     return out
+
+
+def device_volume(db: PackedDB):
+    """Upload the volume once for device-side row gathers."""
+    import jax.numpy as jnp
+
+    return (jnp.asarray(db.codes), jnp.asarray(db.starts.astype(np.int32)),
+            jnp.asarray(db.lengths))
+
+
+def _gather_rows_dev(vol, starts, lengths, ids, L: int):
+    """[B, L] rows from the flat device volume (vmapped dynamic_slice)."""
+    import jax
+    import jax.numpy as jnp
+
+    vol_pad = jnp.concatenate([vol, jnp.zeros(L, dtype=vol.dtype)])
+    offs = starts[ids]
+    rows = jax.vmap(
+        lambda o: jax.lax.dynamic_slice(vol_pad, (o,), (L,)))(offs)
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+    return jnp.where(col < jnp.minimum(lengths[ids], L)[:, None], rows, 0)
+
+
+def _cns_chunk_device(counts, cov_diff, has, vol, starts, lengths,
+                      s_ids, t_ids, qlen, tlen, qs, ts, t_slot, sdir, real,
+                      *, L_s, L_t, S, W, max_segs, min_identity,
+                      min_align_size, min_mapping_ratio):
+    """One fully-device cns chunk: gather → orient → align → filter → tags."""
+    import jax
+
+    key = (L_s, L_t, S, W, max_segs, float(min_identity),
+           int(min_align_size), float(min_mapping_ratio))
+    fn = _CNS_CHUNK_CACHE.get(key)
+    if fn is None:
+        from ..ops.align import extend_pair_batch_with_ops
+        from ..ops.consensus_device import accumulate_tags
+        import jax.numpy as jnp
+
+        def chunk(counts, cov_diff, has, vol, starts, lengths, s_ids, t_ids,
+                  qlen, tlen, qs, ts, t_slot, sdir, real):
+            q_fwd = _gather_rows_dev(vol, starts, lengths, s_ids, L_s)
+            q = _orient_rows(q_fwd, qlen, sdir)
+            t = _gather_rows_dev(vol, starts, lengths, t_ids, L_t)
+            pa, right_t, left_t = extend_pair_batch_with_ops(
+                q, t, qlen, tlen, qs, ts, S=S, W=W, max_segs=max_segs)
+            ratio = (pa.qend - pa.qbeg) / jnp.maximum(1, qlen)
+            keep = (real & (pa.identity >= min_identity)
+                    & ((pa.tend - pa.tbeg) >= min_align_size)
+                    & (ratio >= min_mapping_ratio))
+            has2 = has.at[t_slot].max(keep)
+            c2, v2 = accumulate_tags(counts, cov_diff, right_t, left_t,
+                                     qs, ts, q, qlen, tlen, t_slot, keep,
+                                     pa.tbeg, pa.tend, L_t=L_t)
+            return c2, v2, has2
+
+        fn = jax.jit(chunk, donate_argnums=(0, 1, 2))
+        _CNS_CHUNK_CACHE[key] = fn
+    return fn(counts, cov_diff, has, vol, starts, lengths, s_ids, t_ids,
+              qlen, tlen, qs, ts, t_slot, sdir, real)
+
+
+_CNS_CHUNK_CACHE: Dict = {}
 
 
 def _pick_correct_batch():
@@ -325,12 +397,15 @@ def run_cns(input_path: str, reads_path: str, out_path: str,
     by_template = load_supports(input_path, db, opts.input_type)
     templates = sorted(by_template)
     correct = _pick_correct_batch()
+    kwargs = ({"dev_vol": device_volume(db)}
+              if correct is correct_batch_device else {})
     log.info("cns: %d reads, %d templates with supports", db.n_reads,
              len(templates))
     with open(out_path, "wb") as fh:
         for ofs in range(0, len(templates), opts.partition_size):
             batch = templates[ofs:ofs + opts.partition_size]
-            for name, seg in correct(db, batch, by_template, opts, stats):
+            for name, seg in correct(db, batch, by_template, opts, stats,
+                                     **kwargs):
                 fh.write(format_fasta(name, seg))
             log.info("cns: %d/%d templates, %d corrected reads",
                      min(ofs + opts.partition_size, len(templates)),
