@@ -73,7 +73,91 @@ def stitch_backbone(db: PackedDB, tig: Unitig) -> np.ndarray:
 
 def polish_contig(db: PackedDB, tig: Unitig, backbone: np.ndarray,
                   opts: CtgCnsOptions) -> np.ndarray:
-    """Batched realign of layout reads to the backbone + tag vote."""
+    """Batched realign of layout reads to the backbone + tag vote.
+
+    Tags are tallied and voted on device (ops/consensus_device, T=1 table,
+    keep_template mode) unless the contig's count table would exceed the
+    memory cap — then the host CnsTable path below runs (exact same vote:
+    tests/test_assembly.py::test_polish_device_matches_host).
+    """
+    import os as _os
+
+    D1 = 16  # C.MAX_INS_DELTA + 1
+    cap = int(_os.environ.get("MECAT_TPU_POLISH_TABLE_BYTES", 2 << 30))
+    if (_os.environ.get("MECAT_TPU_HOST_POLISH") != "1"
+            and bucket_length(len(backbone)) * D1 * 5 * 4 <= cap):
+        return _polish_contig_device(db, tig, backbone, opts)
+    return _polish_contig_host(db, tig, backbone, opts)
+
+
+def _polish_contig_device(db: PackedDB, tig: Unitig, backbone: np.ndarray,
+                          opts: CtgCnsOptions) -> np.ndarray:
+    from .. import constants as C
+    from ..ops.align import extend_pair_batch_with_ops
+    from ..ops.consensus_device import accumulate_tags, call_tables
+    import jax.numpy as jnp
+
+    if len(backbone) == 0 or len(tig.rows) == 0:
+        return backbone
+    L_t = bucket_length(len(backbone))
+    L_s = bucket_length(max(int(db.lengths[r.read]) for r in tig.rows))
+    S, W = opts.align_segment, opts.align_band
+    msegs = max_segs_for(L_s, S) + 2
+    P = opts.extend_batch
+    D1 = C.MAX_INS_DELTA + 1
+
+    counts = jnp.zeros((1, L_t, D1, 5), jnp.int32)
+    cov_diff = jnp.zeros((1, L_t + 1), jnp.int32)
+    t_row = np.zeros(L_t, dtype=np.uint8)
+    t_row[:len(backbone)] = backbone
+    t_dev = jnp.asarray(t_row)
+
+    rows = sorted(tig.rows, key=lambda r: (r.offset, r.read))
+    scale = len(backbone) / max(1, max(r.offset + int(db.lengths[r.read])
+                                       for r in rows))
+    zero_slot = jnp.zeros(P, jnp.int32)
+    for ofs in range(0, len(rows), P):
+        chunk = rows[ofs:ofs + P]
+        n = len(chunk)
+        q_b = np.zeros((n, L_s), dtype=np.uint8)
+        qlen = np.zeros(n, np.int32)
+        qs = np.zeros(n, np.int32)
+        ts = np.zeros(n, np.int32)
+        for i, row in enumerate(chunk):
+            sb = _oriented(db, row)[:L_s]
+            q_b[i, :len(sb)] = sb
+            qlen[i] = len(sb)
+            qs[i] = len(sb) // 2
+            ts[i] = int(np.clip((row.offset + len(sb) // 2) * scale, 0,
+                                len(backbone) - 1))
+        real = np.zeros(P, dtype=bool)
+        real[:n] = True
+        q_p, qlen_p, qs_p, ts_p = pad_to_batch([q_b, qlen, qs, ts], P)
+        tlen_p = np.full(P, len(backbone), np.int32)
+        q_dev = jnp.asarray(q_p)
+        qs_dev = jnp.asarray(qs_p)
+        ts_dev = jnp.asarray(ts_p)
+        pa, right_t, left_t = extend_pair_batch_with_ops(
+            q_dev, jnp.broadcast_to(t_dev[None, :], (P, L_t)),
+            jnp.asarray(qlen_p), jnp.asarray(tlen_p), qs_dev, ts_dev,
+            S=S, W=W, max_segs=msegs)
+        keep = jnp.asarray(real) & (pa.identity >= opts.min_identity)
+        counts, cov_diff = accumulate_tags(
+            counts, cov_diff, right_t, left_t, qs_dev, ts_dev, q_dev,
+            jnp.asarray(qlen_p), jnp.asarray(tlen_p), zero_slot, keep,
+            pa.tbeg, pa.tend, L_t=L_t)
+
+    emit, _ = call_tables(counts, cov_diff, t_dev[None, :],
+                          jnp.asarray(np.array([len(backbone)], np.int32)),
+                          jnp.ones(1, bool),
+                          jnp.int32(opts.min_coverage), keep_template=True)
+    flat = np.asarray(emit.astype(jnp.int8))[0, :len(backbone)].reshape(-1)
+    return flat[flat >= 0].astype(np.uint8)
+
+
+def _polish_contig_host(db: PackedDB, tig: Unitig, backbone: np.ndarray,
+                        opts: CtgCnsOptions) -> np.ndarray:
+    """Host CnsTable fallback (exact reference for the device path)."""
     from ..ops.align import extend_pair_batch_with_ops
     import jax.numpy as jnp
 

@@ -180,26 +180,32 @@ def accumulate_tags(counts: jnp.ndarray,        # int32 [T, L_t, D1, 5]
     return counts, cov_diff
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("keep_template",))
 def call_tables(counts: jnp.ndarray,        # int32 [T, L, D1, 5]
                 cov_diff: jnp.ndarray,      # int32 [T, L + 1]
                 template: jnp.ndarray,      # uint8 [T, L] padded bases
                 tlen: jnp.ndarray,          # int32 [T]
                 has_support: jnp.ndarray,   # bool [T]
-                min_coverage: jnp.ndarray):
+                min_coverage: jnp.ndarray,
+                keep_template: bool = False):
     """Device replica of CnsTable.call's vote stage.
 
     Returns (emit int32 [T, L, D1] base code or -1, cov_ok bool [T, L]) —
     the host performs the final low-coverage segment splitting (tiny data).
+
+    keep_template=True mirrors CnsTable.call_polished instead (contig
+    consensus / utgcns role): template bases are kept verbatim where
+    coverage is thin and there is no self-vote or splitting.
     """
     T, L, D1, _ = counts.shape
     l_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
     in_read = l_idx < tlen[:, None]
-    # template self-votes (CnsTable.add_template_votes), only where a
-    # support produced a table in the host semantics
-    counts = counts.at[
-        jnp.arange(T)[:, None], l_idx, 0, template.astype(jnp.int32)].add(
-        (in_read & has_support[:, None]).astype(jnp.int32))
+    if not keep_template:
+        # template self-votes (CnsTable.add_template_votes), only where a
+        # support produced a table in the host semantics
+        counts = counts.at[
+            jnp.arange(T)[:, None], l_idx, 0, template.astype(jnp.int32)].add(
+            (in_read & has_support[:, None]).astype(jnp.int32))
 
     coverage = jnp.cumsum(cov_diff[:, :L], axis=1)
     cov_ok = (coverage >= min_coverage) & in_read & has_support[:, None]
@@ -211,8 +217,11 @@ def call_tables(counts: jnp.ndarray,        # int32 [T, L, D1, 5]
             jnp.int32), axis=2).astype(bool)
 
     emit = jnp.full((T, L, D1), -1, jnp.int32)
-    emit = emit.at[:, :, 0].set(
-        jnp.where(cov_ok & (base_win != GAP), base_win, -1))
+    base0 = jnp.where(cov_ok & (base_win != GAP), base_win, -1)
+    if keep_template:
+        base0 = jnp.where(cov_ok, base0,
+                          jnp.where(in_read, template.astype(jnp.int32), -1))
+    emit = emit.at[:, :, 0].set(base0)
     emit = emit.at[:, :, 1:].set(
         jnp.where(cov_ok[:, :, None] & ins_emit, ins_win, -1))
     return emit, cov_ok

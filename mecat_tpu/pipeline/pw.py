@@ -204,6 +204,87 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
     return m4_out, cand_out
 
 
+def process_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
+                              query_ids: List[int], opts: PwOptions,
+                              vol_db: PackedDB, stats: PwStats,
+                              L_query: int, L_target: int
+                              ) -> List[M4Record]:
+    """Fused-device variant of :func:`process_query_batch` for task=1.
+
+    One jit-compiled launch per strand (scan → top-n → extend, no host
+    round-trip between filter and aligner; pipeline/device_step.py); the
+    host only converts the valid [B, N] outputs to M4 records.  Slightly
+    more sensitive than the staged path: candidates are capped top-n PER
+    STRAND rather than per read (same semantics as parallel/dist.py).
+    """
+    import jax.numpy as jnp
+
+    from .device_step import overlap_step
+
+    B = opts.scan_batch
+    fwd, rev, lens = oriented_batch(db, query_ids, L_query)
+    fwd_p, rev_p, lens_p = pad_to_batch([fwd, rev, lens], B)
+    lens_p = lens_p.copy()
+    lens_p[len(query_ids):] = 0
+    self_ids = np.array(
+        [qid - vol_base if vol_base <= qid < vol_base + vol_db.n_reads else -1
+         for qid in query_ids], dtype=np.int32)
+    self_p, = pad_to_batch([self_ids], B)
+
+    S, W = opts.align_segment, opts.align_band
+    msegs = max_segs_for(max(L_query, L_target), S)
+    best = {}
+    for strand, bases in ((0, fwd_p), (1, rev_p)):
+        out = overlap_step(
+            jnp.asarray(bases), jnp.asarray(lens_p), jnp.asarray(self_p),
+            dev["vol_codes"], dev["offsets"], dev["pos_rid"], dev["pos_loc"],
+            dev["read_starts"], dev["read_lengths"], jnp.int32(cutoff),
+            k=opts.kmer_size, stride=opts.scan_stride, max_occ=opts.max_occ,
+            num_candidates=opts.num_candidates, diag_bin=opts.diag_bin,
+            L_target=L_target, S=S, W=W, max_segs=msegs,
+            min_align_size=opts.min_align_size,
+            min_identity=opts.min_identity)
+        valid = (np.asarray(out.valid)[:len(query_ids)]
+                 & (np.asarray(out.score)[:len(query_ids)]
+                    >= opts.min_block_score))
+        tgt = np.asarray(out.target)[:len(query_ids)]
+        score = np.asarray(out.score)[:len(query_ids)]
+        qbeg = np.asarray(out.qbeg)[:len(query_ids)]
+        qend = np.asarray(out.qend)[:len(query_ids)]
+        tbeg = np.asarray(out.tbeg)[:len(query_ids)]
+        tend = np.asarray(out.tend)[:len(query_ids)]
+        ident = np.asarray(out.identity)[:len(query_ids)]
+        stats.candidates += int(valid.sum())
+        stats.extended += int(valid.sum())
+        for r, c in zip(*np.nonzero(valid)):
+            qid = query_ids[r]
+            sid = vol_base + int(tgt[r, c])
+            qsize = int(lens[r])
+            span = int(qend[r, c] - qbeg[r, c]) + int(tend[r, c] - tbeg[r, c])
+            key = (qid, sid, strand)
+            if key in best and best[key][0] >= span:
+                continue
+            if strand == 0:
+                qs, qe = int(qbeg[r, c]), int(qend[r, c])
+            else:
+                qs, qe = qsize - int(qend[r, c]), qsize - int(qbeg[r, c])
+            best[key] = (span, M4Record(
+                qid=qid + 1, sid=sid + 1, identity=float(ident[r, c]),
+                score=int(score[r, c]), qstrand=0, qstart=qs, qend=qe,
+                qsize=qsize, sstrand=strand, sstart=int(tbeg[r, c]),
+                send=int(tend[r, c]), ssize=int(vol_db.lengths[int(tgt[r, c])])))
+    m4s = [rec for _, rec in (best[k] for k in sorted(best))]
+    stats.overlaps += len(m4s)
+    return m4s
+
+
+def _use_fused(opts: PwOptions) -> bool:
+    import jax
+
+    return (os.environ.get("MECAT_TPU_HOST_PW") != "1"
+            and opts.task == 1 and jax.default_backend() == "tpu")
+
+
 def run_pw(reads_path: str, out_path: str, wrk_dir: str,
            opts: Optional[PwOptions] = None, db: Optional[PackedDB] = None
            ) -> PwStats:
@@ -241,6 +322,8 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                 idx = build_index(vol_db.codes, vol_db.starts,
                                   vol_db.lengths, k=opts.kmer_size)
                 dev = idx.as_device_arrays()
+                if _use_fused(opts):
+                    dev["vol_codes"] = jnp.asarray(vol_db.codes)
             L_target = bucket_length(int(vol_db.lengths.max()))
             for vj in pending:
                 qa, qb = vols[vj]
@@ -250,9 +333,15 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                         open(shard + ".tmp", "w") as fh:
                     for bs in range(qa, qb, opts.scan_batch):
                         qids = list(range(bs, min(qb, bs + opts.scan_batch)))
-                        m4s, cands = process_query_batch(
-                            db, va, dev, idx.max_occ_cutoff, qids, opts,
-                            vol_db, stats, L_query, L_target)
+                        if _use_fused(opts):
+                            m4s = process_query_batch_fused(
+                                db, va, dev, idx.max_occ_cutoff, qids, opts,
+                                vol_db, stats, L_query, L_target)
+                            cands = []
+                        else:
+                            m4s, cands = process_query_batch(
+                                db, va, dev, idx.max_occ_cutoff, qids, opts,
+                                vol_db, stats, L_query, L_target)
                         fh.write(format_block(m4s))
                         fh.write(format_block(cands))
                 os.replace(shard + ".tmp", shard)

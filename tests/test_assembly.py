@@ -205,3 +205,38 @@ def test_meryl_spectrum_and_cutoff():
     assert hist[3] > 0 and hist[1] == 0 and hist[2] == 0
     cut = pick_freq_cutoff(hist)
     assert cut >= 16
+
+
+def test_polish_device_matches_host():
+    """Device tag-table polish == host CnsTable.call_polished, exactly."""
+    from mecat_tpu.assembly.ctgcns import (_polish_contig_device,
+                                           _polish_contig_host,
+                                           stitch_backbone)
+    from mecat_tpu.assembly.ovstore import OverlapStore
+    from mecat_tpu.assembly.unitig import build_unitigs
+    from mecat_tpu.io.m4 import write_records
+    import tempfile
+
+    genome = random_genome(6000, seed=77)
+    read_len, step, n = 1200, 800, 7
+    # noisy reads so polish has real work
+    rng = np.random.default_rng(78)
+    reads = []
+    for i in range(n):
+        r = np.array(genome[i * step:i * step + read_len])
+        err = rng.random(len(r)) < 0.05
+        r[err] = (r[err] + rng.integers(1, 4, err.sum())) % 4
+        reads.append(r)
+    db = _db_from(reads)
+    recs = _perfect_overlaps(reads, [0] * n, read_len, step)
+    with tempfile.TemporaryDirectory() as d:
+        m4p = os.path.join(d, "o.m4")
+        write_records(m4p, recs)
+        store = OverlapStore.from_m4(m4p, n)
+    tig = build_unitigs(store, end_slack=60).unitigs[0]
+    backbone = stitch_backbone(db, tig)
+    opts = CtgCnsOptions(extend_batch=8, align_segment=128, align_band=64)
+    dev = _polish_contig_device(db, tig, backbone, opts)
+    host = _polish_contig_host(db, tig, backbone, opts)
+    assert np.array_equal(dev, host)
+    assert len(dev) > 0

@@ -123,3 +123,31 @@ def test_pw_resume_skips_completed_shards(sim_setup):
     s2 = run_pw(reads, out, wrk, PwOptions(task=1, **OPTS))
     assert s2.candidates == 0 and s2.extended == 0  # all shards skipped
     assert open(out, "rb").read() == first
+
+
+def test_fused_batch_path_matches_staged(sim_setup):
+    """The fused device batch path (TPU default) vs the staged host path:
+    fused recovers ~everything staged finds (superset semantics, like the
+    dist driver: top-n per strand vs per read)."""
+    import mecat_tpu.pipeline.pw as pwmod
+    from mecat_tpu.index.kmer_index import build_index
+    import jax.numpy as jnp
+
+    tmp, reads, db, truths = sim_setup
+    opts = PwOptions(task=1, **OPTS)
+    idx = build_index(db.codes, db.starts, db.lengths, k=opts.kmer_size)
+    dev = idx.as_device_arrays()
+    dev["vol_codes"] = jnp.asarray(db.codes)
+    from mecat_tpu.pipeline.common import bucket_length
+    L = bucket_length(int(db.lengths.max()))
+    qids = list(range(min(db.n_reads, opts.scan_batch)))
+    staged, _ = pwmod.process_query_batch(
+        db, 0, dev, idx.max_occ_cutoff, qids, opts, db,
+        pwmod.PwStats(), L, L)
+    fused = pwmod.process_query_batch_fused(
+        db, 0, dev, idx.max_occ_cutoff, qids, opts, db,
+        pwmod.PwStats(), L, L)
+    s = {(r.qid, r.sid, r.sstrand) for r in staged}
+    f = {(r.qid, r.sid, r.sstrand) for r in fused}
+    assert len(f) > 0
+    assert len(s & f) / max(1, len(s)) >= 0.95, (len(s), len(f), len(s & f))
