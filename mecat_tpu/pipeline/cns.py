@@ -234,6 +234,19 @@ def correct_batch_device(db: PackedDB, templates: List[int],
     import jax
     import jax.numpy as jnp
 
+    # the device tag tables cost L_t * D1 * 5 * 4 bytes per template slot:
+    # cap the templates handled per table allocation and recurse, so the
+    # CLI's partition size (-p, default 100k) never dictates HBM footprint
+    L_t_all = bucket_length(max(int(db.lengths[t]) for t in templates))
+    t_cap = max(1, int(os.environ.get("MECAT_TPU_CNS_TABLE_BYTES",
+                                      1 << 29)) // (L_t_all * 16 * 5 * 4))
+    if len(templates) > t_cap:
+        out: List[Tuple[str, np.ndarray]] = []
+        for ofs in range(0, len(templates), t_cap):
+            out += correct_batch_device(db, templates[ofs:ofs + t_cap],
+                                        by_template, opts, stats, dev_vol)
+        return out
+
     pairs = []  # (template, support, dir, spos, tpos)
     for t in templates:
         sups = by_template.get(t, [])

@@ -56,3 +56,16 @@ def test_device_stats_match(pile):
     assert sh.supports_aligned == sd.supports_aligned
     assert sh.corrected_reads == sd.corrected_reads
     assert sh.corrected_bases == sd.corrected_bases
+
+
+def test_device_table_cap_subbatching(pile, monkeypatch):
+    """A tiny table-bytes cap forces sub-batching; results are unchanged."""
+    db, by_t = pile
+    templates = sorted(by_t)
+    opts = CnsOptions(min_align_size=300, min_length=500, extend_batch=32,
+                      align_segment=128, align_band=64)
+    full = correct_batch_device(db, templates, by_t, opts, CnsStats())
+    monkeypatch.setenv("MECAT_TPU_CNS_TABLE_BYTES", str(1 << 22))  # ~4 MB
+    sub = correct_batch_device(db, templates, by_t, opts, CnsStats())
+    assert {n: s.tobytes() for n, s in full} == \
+        {n: s.tobytes() for n, s in sub}
