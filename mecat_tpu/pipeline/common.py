@@ -12,8 +12,18 @@ from ..ops.align import Q_SENTINEL, T_SENTINEL
 
 
 def bucket_length(n: int, minimum: int = 1024) -> int:
-    """Smallest power-of-two-ish padded length >= n (multiples of 1024)."""
-    return max(minimum, int(math.ceil(n / 1024)) * 1024)
+    """Padded length >= n from a coarse bucket ladder (powers of two and
+    their 1.5x midpoints, multiples of 1024).
+
+    Shapes are jit keys and compiles on this system are expensive remote
+    calls: per-batch max-length padding caused a recompile for nearly every
+    batch (each ~50 s), so lengths snap to O(log) buckets at <= 33% padding
+    waste instead.
+    """
+    n = max(n, minimum)
+    p = 1 << max(10, (n - 1).bit_length())
+    b = p if n > 3 * p // 4 else 3 * p // 4
+    return max(minimum, int(math.ceil(b / 1024)) * 1024)
 
 
 def oriented_batch(db: PackedDB, read_ids: Sequence[int], L: int

@@ -73,6 +73,29 @@ def _window(tseed: int, qlen: int, contig_len: int, L_win: int):
     return start, min(L_win, contig_len - start)
 
 
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnames=("L_win", "L_q", "S", "W", "max_segs"))
+def _ref_extend_chunk(fwd, rev, ref_codes, rowi, strand, g0, wlen, qlen,
+                      qs, ts, *, L_win, L_q, S, W, max_segs):
+    """Device chunk: gather query rows + genome windows, extend, compact ops."""
+    q = jnp.where(strand[:, None] == 0, fwd[rowi], rev[rowi])
+    ref_pad = jnp.concatenate(
+        [ref_codes, jnp.zeros(L_win, dtype=ref_codes.dtype)])
+    win = _jax.vmap(
+        lambda o: _jax.lax.dynamic_slice(ref_pad, (o,), (L_win,)))(g0)
+    col = jnp.arange(L_win, dtype=jnp.int32)[None, :]
+    t = jnp.where(col < wlen[:, None], win, 0)
+    pa, right_t, left_t = extend_pair_batch_with_ops(
+        q, t, qlen, wlen, qs, ts, S=S, W=W, max_segs=max_segs)
+    CW = -(-(L_q + L_win + 2) // 128) * 128
+    ops8 = ops_stream(right_t, left_t, qs, ts, CW=CW)
+    return pa, right_t, left_t, ops8
+
+
 def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
               opts: RefOptions, out_lines: List[str], stats: RefStats):
     B = opts.scan_batch
@@ -114,40 +137,43 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
                               int(tseed[row, j]) - win0, int(score[row, j]),
                               wlen))
 
-    # extend in fixed-size batches, keep the best alignment per read
+    # extend in fixed-size batches, keep the best alignment per read.
+    # query rows and genome windows are gathered ON DEVICE (row indices /
+    # window offsets are the only per-chunk upload — host-side window
+    # copies + [P, L] uploads dominated wall time over the slow tunnel).
     best = {}   # row -> (matches, payload)
     second = {} # row -> matches of runner-up
     P = opts.extend_batch
     S, W = opts.align_segment, opts.align_band
     msegs = max_segs_for(L_q, S)
-    oriented = {0: fwd, 1: rev}
+    bases_dev = {0: jnp.asarray(fwd_p), 1: jnp.asarray(rev_p)}
+    chunk_arr = np.asarray(
+        [(row, strand, contig, win0, qs, ts, score, wlen)
+         for (row, strand, contig, win0, qs, ts, score, wlen) in pairs],
+        dtype=np.int64).reshape(len(pairs), 8)
+    g_start = (ref_db.starts[chunk_arr[:, 2]] + chunk_arr[:, 3]).astype(
+        np.int32)
     for ofs in range(0, len(pairs), P):
         chunk = pairs[ofs:ofs + P]
+        ca = chunk_arr[ofs:ofs + P]
         n = len(chunk)
-        q_b = np.zeros((n, L_q), np.uint8)
-        t_b = np.zeros((n, L_win), np.uint8)
-        qlen_b = np.zeros(n, np.int32)
-        tlen_b = np.zeros(n, np.int32)
-        qs_b = np.zeros(n, np.int32)
-        ts_b = np.zeros(n, np.int32)
-        for i, (row, strand, contig, win0, qs, ts, score, wlen) in enumerate(chunk):
-            q_b[i] = oriented[strand][row]
-            gstart = int(ref_db.starts[contig]) + win0
-            t_b[i, :wlen] = ref_db.codes[gstart:gstart + wlen]
-            qlen_b[i] = lens[row]
-            tlen_b[i] = wlen
-            qs_b[i] = min(max(qs, 0), max(int(lens[row]) - 1, 0))
-            ts_b[i] = min(max(ts, 0), max(wlen - 1, 0))
-        args = pad_to_batch([q_b, t_b, qlen_b, tlen_b, qs_b, ts_b], P)
-        pa, right_t, left_t = extend_pair_batch_with_ops(
-            *(jnp.asarray(a) for a in args), S=S, W=W, max_segs=msegs)
-        # compact the op streams on device; pull int8 codes only — pulling
-        # the full (ops, qi, tj) tapes dominated mecat2ref wall time over
-        # this system's slow device tunnel
-        CW = -(-(L_q + L_win + 2) // 128) * 128
-        ops_np = np.asarray(ops_stream(
-            right_t, left_t, jnp.asarray(args[4]), jnp.asarray(args[5]),
-            CW=CW))
+        rowi = ca[:, 0].astype(np.int32)
+        strand_c = ca[:, 1].astype(np.int32)
+        wlen = ca[:, 7].astype(np.int32)
+        qlen_b = lens[rowi].astype(np.int32)
+        qs_b = np.clip(ca[:, 4], 0, np.maximum(qlen_b - 1, 0)).astype(
+            np.int32)
+        ts_b = np.clip(ca[:, 5], 0, np.maximum(wlen - 1, 0)).astype(np.int32)
+        rowi_p, strand_p, g0_p, wlen_p, qlen_p, qs_p, ts_p = pad_to_batch(
+            [rowi, strand_c, g_start[ofs:ofs + P], wlen, qlen_b, qs_b,
+             ts_b], P)
+        pa, right_t, left_t, ops_dev = _ref_extend_chunk(
+            bases_dev[0], bases_dev[1], dev["ref_codes"],
+            jnp.asarray(rowi_p), jnp.asarray(strand_p), jnp.asarray(g0_p),
+            jnp.asarray(wlen_p), jnp.asarray(qlen_p), jnp.asarray(qs_p),
+            jnp.asarray(ts_p), L_win=L_win, L_q=L_q, S=S, W=W,
+            max_segs=msegs)
+        ops_np = np.asarray(ops_dev)
         ident = np.asarray(pa.identity)[:n]
         matches = np.asarray(pa.matches)[:n]
         qbeg = np.asarray(pa.qbeg)[:n]
@@ -218,6 +244,7 @@ def run_ref(reads_path: str, ref_path: str, out_path: str, wrk_dir: str,
     idx = build_index(ref_db.codes, ref_db.starts, ref_db.lengths,
                       k=opts.kmer_size)
     dev = idx.as_device_arrays()
+    dev["ref_codes"] = jnp.asarray(ref_db.codes)
     log.info("ref: %d reads vs %d contigs (%d bases)", db.n_reads,
              ref_db.n_reads, ref_db.total_bases)
     with open(out_path, "w") as fh:
