@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-k", dest="max_occ", type=int, default=C.MAX_OCC_PER_KMER,
                    help="max k-mer occurrences gathered per probe")
     p.add_argument("-g", dest="print_ext", type=int, default=0, choices=(0, 1),
-                   help="accepted for compatibility (seed point columns)")
+                   help="1 = append gapped-extension seed point columns")
     p.add_argument("--kmer-size", type=int, default=C.KMER_SIZE)
     p.add_argument("--scan-stride", type=int, default=C.KMER_SCAN_STRIDE)
     p.add_argument("--min-identity", type=float, default=C.MIN_OVERLAP_IDENTITY)
@@ -59,7 +59,8 @@ def main(argv=None) -> int:
         kmer_size=args.kmer_size, scan_stride=args.scan_stride,
         max_occ=args.max_occ, volume_bases=args.volume_bases,
         scan_batch=args.scan_batch, extend_batch=args.extend_batch,
-        align_segment=args.align_segment, align_band=args.align_band)
+        align_segment=args.align_segment, align_band=args.align_band,
+        print_ext=args.print_ext)
     stats = run_pw(args.reads, args.output, args.wrk_dir, opts)
     log.info("done: %d reads, %d candidates, %d overlaps in %.1fs",
              stats.reads, stats.candidates, stats.overlaps, stats.seconds)

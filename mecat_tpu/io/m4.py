@@ -45,12 +45,20 @@ class M4Record:
     sstart: int
     send: int
     ssize: int
+    # mecat2pw -g 1: gapped-extension start point (seed) columns.  qext is
+    # in the sstrand-oriented query, sext on the forward subject
+    # (candidate-record convention).  None = plain 12-column M4.
+    qext: int | None = None
+    sext: int | None = None
 
     def format(self) -> str:
-        return (f"{self.qid}\t{self.sid}\t"
+        base = (f"{self.qid}\t{self.sid}\t"
                 f"{self.identity:.{M4_IDENTITY_DECIMALS}f}\t{self.score}\t"
                 f"{self.qstrand}\t{self.qstart}\t{self.qend}\t{self.qsize}\t"
                 f"{self.sstrand}\t{self.sstart}\t{self.send}\t{self.ssize}")
+        if self.qext is not None:
+            base += f"\t{self.qext}\t{self.sext}"
+        return base
 
     @classmethod
     def parse(cls, line: str) -> "M4Record":
@@ -60,7 +68,9 @@ class M4Record:
         return cls(qid=int(f[0]), sid=int(f[1]), identity=float(f[2]),
                    score=int(float(f[3])), qstrand=int(f[4]), qstart=int(f[5]),
                    qend=int(f[6]), qsize=int(f[7]), sstrand=int(f[8]),
-                   sstart=int(f[9]), send=int(f[10]), ssize=int(f[11]))
+                   sstart=int(f[9]), send=int(f[10]), ssize=int(f[11]),
+                   qext=int(f[12]) if len(f) >= 14 else None,
+                   sext=int(f[13]) if len(f) >= 14 else None)
 
 
 @dataclass
@@ -102,7 +112,9 @@ def format_block(records: List) -> str:
     from ..native import get as _native
     import numpy as np
     lib = _native()
-    if lib is None:
+    if lib is None or (isinstance(records[0], M4Record)
+                       and records[0].qext is not None):
+        # 14-column (-g 1) records take the Python writer
         return "".join(r.format() + "\n" for r in records)
     if isinstance(records[0], M4Record):
         cols = {f: np.asarray([getattr(r, f) for r in records])

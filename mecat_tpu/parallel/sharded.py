@@ -161,7 +161,8 @@ def sharded_overlap_step(
             target=cand.target, score=cand.score,
             qbeg=res.qbeg.reshape(Bh, N), qend=res.qend.reshape(Bh, N),
             tbeg=res.tbeg.reshape(Bh, N), tend=res.tend.reshape(Bh, N),
-            identity=res.identity.reshape(Bh, N), valid=ok)
+            identity=res.identity.reshape(Bh, N), valid=ok,
+            qseed=cand.qseed, tseed=cand.tseed)
 
     mapped = jax.shard_map(
         step, mesh=mesh,
@@ -170,7 +171,7 @@ def sharded_overlap_step(
                   P("hash"), P("hash"), P("hash"), P("hash"),  # index shards
                   P(), P(), P()),                          # read tables
         out_specs=jax.tree.map(lambda _: P(("data", "hash")),
-                               OverlapStepOut(*(0,) * 8)),
+                               OverlapStepOut(*(0,) * 10)),
         check_vma=False)
     return jax.jit(mapped)
 

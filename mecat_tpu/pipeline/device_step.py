@@ -30,6 +30,8 @@ class OverlapStepOut(NamedTuple):
     tend: jnp.ndarray
     identity: jnp.ndarray  # float32 [B, N]
     valid: jnp.ndarray     # bool [B, N] passed score/identity/size filters
+    qseed: jnp.ndarray     # int32 [B, N] seed point (scanned orientation)
+    tseed: jnp.ndarray     # int32 [B, N] seed point on the forward target
 
 
 @partial(jax.jit, static_argnames=(
@@ -98,4 +100,5 @@ def overlap_step(
         target=cand.target, score=cand.score,
         qbeg=res.qbeg.reshape(B, N), qend=res.qend.reshape(B, N),
         tbeg=res.tbeg.reshape(B, N), tend=res.tend.reshape(B, N),
-        identity=res.identity.reshape(B, N), valid=ok)
+        identity=res.identity.reshape(B, N), valid=ok,
+        qseed=cand.qseed, tseed=cand.tseed)

@@ -53,6 +53,7 @@ class PwOptions:
     align_segment: int = C.ALIGN_SEGMENT
     align_band: int = C.ALIGN_BAND
     min_block_score: int = C.MIN_BLOCK_SCORE
+    print_ext: int = 0                 # -g: 1 = two extra seed columns
 
 
 @dataclass
@@ -199,7 +200,9 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
                 qid=qid + 1, sid=sid + 1, identity=float(ident[i]),
                 score=int(chunk[i, 3]), qstrand=0, qstart=qs, qend=qe,
                 qsize=qsize, sstrand=sdir, sstart=int(tbeg[i]),
-                send=int(tend[i]), ssize=ssize))
+                send=int(tend[i]), ssize=ssize,
+                qext=int(chunk[i, 4]) if opts.print_ext else None,
+                sext=int(chunk[i, 5]) if opts.print_ext else None))
     stats.overlaps += len(m4_out)
     return m4_out, cand_out
 
@@ -254,6 +257,8 @@ def process_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
         tbeg = np.asarray(out.tbeg)[:len(query_ids)]
         tend = np.asarray(out.tend)[:len(query_ids)]
         ident = np.asarray(out.identity)[:len(query_ids)]
+        oqseed = np.asarray(out.qseed)[:len(query_ids)]
+        otseed = np.asarray(out.tseed)[:len(query_ids)]
         stats.candidates += int(valid.sum())
         stats.extended += int(valid.sum())
         for r, c in zip(*np.nonzero(valid)):
@@ -272,7 +277,10 @@ def process_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
                 qid=qid + 1, sid=sid + 1, identity=float(ident[r, c]),
                 score=int(score[r, c]), qstrand=0, qstart=qs, qend=qe,
                 qsize=qsize, sstrand=strand, sstart=int(tbeg[r, c]),
-                send=int(tend[r, c]), ssize=int(vol_db.lengths[int(tgt[r, c])])))
+                send=int(tend[r, c]),
+                ssize=int(vol_db.lengths[int(tgt[r, c])]),
+                qext=int(oqseed[r, c]) if opts.print_ext else None,
+                sext=int(otseed[r, c]) if opts.print_ext else None))
     m4s = [rec for _, rec in (best[k] for k in sorted(best))]
     stats.overlaps += len(m4s)
     return m4s

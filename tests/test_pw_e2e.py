@@ -151,3 +151,23 @@ def test_fused_batch_path_matches_staged(sim_setup):
     f = {(r.qid, r.sid, r.sstrand) for r in fused}
     assert len(f) > 0
     assert len(s & f) / max(1, len(s)) >= 0.95, (len(s), len(f), len(s & f))
+
+
+def test_print_ext_seed_columns(sim_setup):
+    """-g 1 appends two seed-point columns; -g 0 output is its prefix."""
+    tmp, reads, db, truths = sim_setup
+    out0 = str(tmp / "g0.m4")
+    out1 = str(tmp / "g1.m4")
+    run_pw(reads, out0, str(tmp / "wg0"), PwOptions(task=1, **OPTS))
+    run_pw(reads, out1, str(tmp / "wg1"),
+           PwOptions(task=1, print_ext=1, **OPTS))
+    lines0 = open(out0).read().splitlines()
+    lines1 = open(out1).read().splitlines()
+    assert len(lines0) == len(lines1) > 0
+    for a, b in zip(lines0, lines1):
+        fb = b.split("\t")
+        assert len(fb) == 14 and a.split("\t") == fb[:12]
+        r = read_m4(out1)
+    recs = list(read_m4(out1))
+    assert all(r.qext is not None and 0 <= r.qext <= r.qsize for r in recs)
+    assert all(0 <= r.sext <= r.ssize for r in recs)
