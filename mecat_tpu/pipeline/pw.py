@@ -207,18 +207,14 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
     return m4_out, cand_out
 
 
-def process_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
-                              query_ids: List[int], opts: PwOptions,
-                              vol_db: PackedDB, stats: PwStats,
-                              L_query: int, L_target: int
-                              ) -> List[M4Record]:
-    """Fused-device variant of :func:`process_query_batch` for task=1.
+def dispatch_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
+                               query_ids: List[int], opts: PwOptions,
+                               vol_db: PackedDB, L_query: int, L_target: int):
+    """Dispatch the fused device step for both strands (async, no sync).
 
-    One jit-compiled launch per strand (scan → top-n → extend, no host
-    round-trip between filter and aligner; pipeline/device_step.py); the
-    host only converts the valid [B, N] outputs to M4 records.  Slightly
-    more sensitive than the staged path: candidates are capped top-n PER
-    STRAND rather than per read (same semantics as parallel/dist.py).
+    Returns an opaque pending handle for :func:`collect_query_batch_fused`.
+    JAX dispatch is asynchronous, so the caller can dispatch batch i+1
+    before collecting batch i — host conversion overlaps device compute.
     """
     import jax.numpy as jnp
 
@@ -236,9 +232,9 @@ def process_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
 
     S, W = opts.align_segment, opts.align_band
     msegs = max_segs_for(max(L_query, L_target), S)
-    best = {}
+    outs = {}
     for strand, bases in ((0, fwd_p), (1, rev_p)):
-        out = overlap_step(
+        outs[strand] = overlap_step(
             jnp.asarray(bases), jnp.asarray(lens_p), jnp.asarray(self_p),
             dev["vol_codes"], dev["offsets"], dev["pos_rid"], dev["pos_loc"],
             dev["read_starts"], dev["read_lengths"], jnp.int32(cutoff),
@@ -247,43 +243,97 @@ def process_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
             L_target=L_target, S=S, W=W, max_segs=msegs,
             min_align_size=opts.min_align_size,
             min_identity=opts.min_identity)
-        valid = (np.asarray(out.valid)[:len(query_ids)]
-                 & (np.asarray(out.score)[:len(query_ids)]
-                    >= opts.min_block_score))
-        tgt = np.asarray(out.target)[:len(query_ids)]
-        score = np.asarray(out.score)[:len(query_ids)]
-        qbeg = np.asarray(out.qbeg)[:len(query_ids)]
-        qend = np.asarray(out.qend)[:len(query_ids)]
-        tbeg = np.asarray(out.tbeg)[:len(query_ids)]
-        tend = np.asarray(out.tend)[:len(query_ids)]
-        ident = np.asarray(out.identity)[:len(query_ids)]
-        oqseed = np.asarray(out.qseed)[:len(query_ids)]
-        otseed = np.asarray(out.tseed)[:len(query_ids)]
-        stats.candidates += int(valid.sum())
-        stats.extended += int(valid.sum())
-        for r, c in zip(*np.nonzero(valid)):
-            qid = query_ids[r]
-            sid = vol_base + int(tgt[r, c])
-            qsize = int(lens[r])
-            span = int(qend[r, c] - qbeg[r, c]) + int(tend[r, c] - tbeg[r, c])
-            key = (qid, sid, strand)
-            if key in best and best[key][0] >= span:
-                continue
-            if strand == 0:
-                qs, qe = int(qbeg[r, c]), int(qend[r, c])
-            else:
-                qs, qe = qsize - int(qend[r, c]), qsize - int(qbeg[r, c])
-            best[key] = (span, M4Record(
-                qid=qid + 1, sid=sid + 1, identity=float(ident[r, c]),
-                score=int(score[r, c]), qstrand=0, qstart=qs, qend=qe,
-                qsize=qsize, sstrand=strand, sstart=int(tbeg[r, c]),
-                send=int(tend[r, c]),
-                ssize=int(vol_db.lengths[int(tgt[r, c])]),
-                qext=int(oqseed[r, c]) if opts.print_ext else None,
-                sext=int(otseed[r, c]) if opts.print_ext else None))
-    m4s = [rec for _, rec in (best[k] for k in sorted(best))]
-    stats.overlaps += len(m4s)
-    return m4s
+    return (outs, np.asarray(query_ids, dtype=np.int64), lens)
+
+
+def collect_query_batch_fused(pending, vol_base: int, vol_db: PackedDB,
+                              opts: PwOptions, stats: PwStats) -> str:
+    """Sync one dispatched batch and format its M4 text block (columnar).
+
+    Dedup (best total span per (qid, sid, strand)) and field assembly are
+    vectorised NumPy; serialization uses the native columnar writer.
+    """
+    outs, qids, lens = pending
+    n = len(qids)
+    cols = {k: [] for k in ("qid", "sid", "identity", "score", "qstrand",
+                            "qstart", "qend", "qsize", "sstrand", "sstart",
+                            "send", "ssize", "span", "qext", "sext")}
+    for strand, out in outs.items():
+        valid = (np.asarray(out.valid)[:n]
+                 & (np.asarray(out.score)[:n] >= opts.min_block_score))
+        r, c = np.nonzero(valid)
+        if len(r) == 0:
+            continue
+        tgt = np.asarray(out.target)[:n][r, c]
+        qbeg = np.asarray(out.qbeg)[:n][r, c]
+        qend = np.asarray(out.qend)[:n][r, c]
+        tbeg = np.asarray(out.tbeg)[:n][r, c]
+        tend = np.asarray(out.tend)[:n][r, c]
+        qsize = lens[r].astype(np.int64)
+        cols["qid"].append(qids[r] + 1)
+        cols["sid"].append(vol_base + tgt.astype(np.int64) + 1)
+        cols["identity"].append(np.asarray(out.identity)[:n][r, c])
+        cols["score"].append(np.asarray(out.score)[:n][r, c])
+        cols["qstrand"].append(np.zeros(len(r), np.int32))
+        qs = np.where(strand == 0, qbeg, qsize - qend)
+        qe = np.where(strand == 0, qend, qsize - qbeg)
+        cols["qstart"].append(qs)
+        cols["qend"].append(qe)
+        cols["qsize"].append(qsize)
+        cols["sstrand"].append(np.full(len(r), strand, np.int32))
+        cols["sstart"].append(tbeg)
+        cols["send"].append(tend)
+        cols["ssize"].append(vol_db.lengths[tgt].astype(np.int64))
+        cols["span"].append((qend - qbeg) + (tend - tbeg))
+        cols["qext"].append(np.asarray(out.qseed)[:n][r, c])
+        cols["sext"].append(np.asarray(out.tseed)[:n][r, c])
+        stats.candidates += len(r)
+        stats.extended += len(r)
+    if not cols["qid"]:
+        return ""
+    a = {k: np.concatenate(v) for k, v in cols.items()}
+    # best span per (qid, sid, strand); output sorted by that key
+    order = np.lexsort((-a["span"], a["sstrand"], a["sid"], a["qid"]))
+    a = {k: v[order] for k, v in a.items()}
+    key = np.stack([a["qid"], a["sid"], a["sstrand"]], axis=1)
+    first = np.ones(len(key), dtype=bool)
+    first[1:] = (key[1:] != key[:-1]).any(axis=1)
+    a = {k: v[first] for k, v in a.items()}
+    stats.overlaps += int(first.sum())
+
+    from ..native import get as _native
+    lib = _native()
+    if lib is not None and not opts.print_ext:
+        return lib.format_m4(a).decode()
+    recs = [M4Record(
+        qid=int(a["qid"][i]), sid=int(a["sid"][i]),
+        identity=float(a["identity"][i]), score=int(a["score"][i]),
+        qstrand=0, qstart=int(a["qstart"][i]), qend=int(a["qend"][i]),
+        qsize=int(a["qsize"][i]), sstrand=int(a["sstrand"][i]),
+        sstart=int(a["sstart"][i]), send=int(a["send"][i]),
+        ssize=int(a["ssize"][i]),
+        qext=int(a["qext"][i]) if opts.print_ext else None,
+        sext=int(a["sext"][i]) if opts.print_ext else None)
+        for i in range(len(a["qid"]))]
+    return "".join(r.format() + "\n" for r in recs)
+
+
+def process_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
+                              query_ids: List[int], opts: PwOptions,
+                              vol_db: PackedDB, stats: PwStats,
+                              L_query: int, L_target: int
+                              ) -> List[M4Record]:
+    """Fused-device batch → M4 records (dispatch + collect in one call).
+
+    Slightly more sensitive than the staged path: candidates are capped
+    top-n PER STRAND rather than per read (same semantics as
+    parallel/dist.py).
+    """
+    pending = dispatch_query_batch_fused(db, vol_base, dev, cutoff,
+                                         query_ids, opts, vol_db, L_query,
+                                         L_target)
+    text = collect_query_batch_fused(pending, vol_base, vol_db, opts, stats)
+    return [M4Record.parse(ln) for ln in text.splitlines()]
 
 
 def _use_fused(opts: PwOptions) -> bool:
@@ -339,19 +389,33 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                 L_query = bucket_length(int(db.lengths[qa:qb].max()))
                 with met.stage("volume_pair", vi=vi, vj=vj), \
                         open(shard + ".tmp", "w") as fh:
-                    for bs in range(qa, qb, opts.scan_batch):
-                        qids = list(range(bs, min(qb, bs + opts.scan_batch)))
-                        if _use_fused(opts):
-                            m4s = process_query_batch_fused(
+                    if _use_fused(opts):
+                        # depth-1 pipeline: dispatch batch k+1 (async JAX)
+                        # before collecting batch k, so host conversion and
+                        # device compute overlap
+                        pending = None
+                        for bs in range(qa, qb, opts.scan_batch):
+                            qids = list(range(bs,
+                                              min(qb, bs + opts.scan_batch)))
+                            nxt = dispatch_query_batch_fused(
                                 db, va, dev, idx.max_occ_cutoff, qids, opts,
-                                vol_db, stats, L_query, L_target)
-                            cands = []
-                        else:
+                                vol_db, L_query, L_target)
+                            if pending is not None:
+                                fh.write(collect_query_batch_fused(
+                                    pending, va, vol_db, opts, stats))
+                            pending = nxt
+                        if pending is not None:
+                            fh.write(collect_query_batch_fused(
+                                pending, va, vol_db, opts, stats))
+                    else:
+                        for bs in range(qa, qb, opts.scan_batch):
+                            qids = list(range(bs,
+                                              min(qb, bs + opts.scan_batch)))
                             m4s, cands = process_query_batch(
                                 db, va, dev, idx.max_occ_cutoff, qids, opts,
                                 vol_db, stats, L_query, L_target)
-                        fh.write(format_block(m4s))
-                        fh.write(format_block(cands))
+                            fh.write(format_block(m4s))
+                            fh.write(format_block(cands))
                 os.replace(shard + ".tmp", shard)
                 log.info("pw: volume %d vs %d done (%d candidates, "
                          "%d overlaps)", vi, vj, stats.candidates,
