@@ -6,3 +6,34 @@ correct+trim pipeline).  See SURVEY.md for the blueprint and provenance notes.
 """
 
 __version__ = "0.1.0"
+
+
+def _configure_compilation_cache():
+    """Enable the persistent XLA compilation cache via the config API.
+
+    Remote compiles on this system cost 30-200 s per program; the cache cuts
+    warm CLI runs by minutes.  The env-var route (JAX_COMPILATION_CACHE_DIR)
+    does NOT work here — the sandbox's sitecustomize imports jax before user
+    code, so env vars set by entry points arrive too late; the config API
+    applies regardless.  Opt out with MECAT_TPU_NO_COMPILE_CACHE=1.
+    """
+    import os
+
+    if os.environ.get("MECAT_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        import jax
+
+        cache_dir = (os.environ.get("MECAT_TPU_COMPILE_CACHE")
+                     or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                     or os.path.join(os.path.expanduser("~"), ".cache",
+                                     "mecat_tpu", "jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_configure_compilation_cache()
