@@ -102,3 +102,108 @@ def overlap_step(
         tbeg=res.tbeg.reshape(B, N), tend=res.tend.reshape(B, N),
         identity=res.identity.reshape(B, N), valid=ok,
         qseed=cand.qseed, tseed=cand.tseed)
+
+
+# ---------------------------------------------------------------------------
+# Two-phase overlap step: 1-segment probe of ALL candidates, full extension
+# of survivors only.  With the reference's -n 100 candidates/read, most
+# candidates are junk that dies within one DP segment — but in the fused
+# one-shot step they still occupy batch lanes for the whole while_loop of
+# the longest genuine overlap.  Probing costs ~2/max_segs of the one-shot
+# work; survivors (roughly the true overlaps) are compacted to a bucketed
+# batch with one tiny host sync, then extended to full length.  Candidate
+# sets and final filters are identical to overlap_step.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=(
+    "k", "stride", "max_occ", "num_candidates", "diag_bin", "L_target",
+    "S", "W", "min_block_score"))
+def probe_step(
+    bases: jnp.ndarray, lengths: jnp.ndarray, self_id: jnp.ndarray,
+    vol_codes: jnp.ndarray, offsets: jnp.ndarray, pos_rid: jnp.ndarray,
+    pos_loc: jnp.ndarray, read_starts: jnp.ndarray,
+    read_lengths: jnp.ndarray, cutoff: jnp.ndarray, *,
+    k: int, stride: int, max_occ: int, num_candidates: int, diag_bin: int,
+    L_target: int, S: int, W: int, min_block_score: int,
+):
+    """Scan + 1-segment probe extension; returns candidates + survive mask.
+
+    survive keeps every candidate whose first segments still look like an
+    alignment (or are too short to judge) — a PRUNE-ONLY filter: anything it
+    drops would fail the final identity/size filters anyway.
+    """
+    B, L = bases.shape
+    N = num_candidates
+    cand = scan_candidates(
+        bases, lengths, offsets, pos_rid, pos_loc, cutoff, self_id,
+        k=k, stride=stride, max_occ=max_occ, num_candidates=N,
+        diag_bin=diag_bin)
+    tgt = jnp.clip(cand.target, 0, read_starts.shape[0] - 1).reshape(-1)
+    q_pairs = jnp.repeat(bases, N, axis=0)
+    qlen_pairs = jnp.repeat(lengths, N)
+    t, t_len_w, ts_local, _ = _target_windows(
+        vol_codes, read_starts, read_lengths, tgt,
+        cand.tseed.reshape(-1), L_target)
+    probe = extend_pair_batch(
+        q_pairs, t, qlen_pairs, t_len_w,
+        jnp.maximum(cand.qseed.reshape(-1), 0), ts_local,
+        S=S, W=W, max_segs=1)
+    short = probe.align_len < 96          # too little evidence: keep
+    looks_ok = probe.identity >= 55.0
+    survive = (cand.valid.reshape(-1) & (cand.score.reshape(-1)
+                                         >= min_block_score)
+               & (short | looks_ok))
+    return cand, survive.reshape(B, N)
+
+
+def _target_windows(vol_codes, read_starts, read_lengths, tgt, tseed,
+                    L_win: int):
+    """Seed-centred target windows [n, L_win] from the flat volume.
+
+    Batches are length-homogeneous (run_pw sorts queries by length), but a
+    single very long TARGET read must not inflate the batch shape: the
+    alignment can never consume more target than ~1.35x the query span, so
+    a window of L_win ~ 3*L_query around the seed always contains the full
+    overlap.  Returns (rows, window_len, seed_local, win0)."""
+    t_start = read_starts[tgt].astype(jnp.int32)
+    t_len = read_lengths[tgt].astype(jnp.int32)
+    tseed = jnp.clip(tseed, 0, jnp.maximum(t_len - 1, 0))
+    win0 = jnp.clip(tseed - L_win // 2, 0, jnp.maximum(t_len - L_win, 0))
+    vol_pad = jnp.concatenate(
+        [vol_codes, jnp.zeros(L_win, dtype=vol_codes.dtype)])
+    rows = jax.vmap(
+        lambda o: jax.lax.dynamic_slice(vol_pad, (o,),
+                                        (L_win,)))(t_start + win0)
+    t_len_w = jnp.minimum(t_len - win0, L_win).astype(jnp.int32)
+    col = jnp.arange(L_win, dtype=jnp.int32)
+    rows = jnp.where(col[None, :] < t_len_w[:, None], rows, 0)
+    return rows, t_len_w, (tseed - win0).astype(jnp.int32), win0
+
+
+@partial(jax.jit, static_argnames=("K", "N", "L_target", "S", "W",
+                                   "max_segs"))
+def extend_selected(
+    bases: jnp.ndarray, lengths: jnp.ndarray, vol_codes: jnp.ndarray,
+    read_starts: jnp.ndarray, read_lengths: jnp.ndarray,
+    tgt_flat: jnp.ndarray,     # int32 [B*N] candidate targets
+    qseed_flat: jnp.ndarray, tseed_flat: jnp.ndarray,
+    sel: jnp.ndarray,          # int32 [K] indices into the flat candidates
+    *, K: int, N: int, L_target: int, S: int, W: int, max_segs: int,
+):
+    """Full extension of the selected candidate pairs only.
+
+    Returned target coordinates (tbeg/tend) are WINDOW-LOCAL; the matching
+    window origin comes back as win0 ([K]) for host-side globalisation.
+    """
+    rowi = sel // N
+    tgt = jnp.clip(tgt_flat[sel], 0, read_starts.shape[0] - 1)
+    q = bases[rowi]
+    qlen = lengths[rowi]
+    t, t_len_w, ts_local, win0 = _target_windows(
+        vol_codes, read_starts, read_lengths, tgt, tseed_flat[sel], L_target)
+    res = extend_pair_batch(
+        q, t, qlen, t_len_w,
+        jnp.maximum(qseed_flat[sel], 0), ts_local,
+        S=S, W=W, max_segs=max_segs)
+    return res, win0

@@ -207,18 +207,28 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
     return m4_out, cand_out
 
 
+def _bucket_k(n: int, minimum: int = 256) -> int:
+    """Pow2-and-midpoint bucket for survivor batch sizes (jit shape reuse)."""
+    n = max(n, minimum)
+    p = 1 << (n - 1).bit_length()
+    return p if n > 3 * p // 4 else 3 * p // 4
+
+
 def dispatch_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
                                query_ids: List[int], opts: PwOptions,
                                vol_db: PackedDB, L_query: int, L_target: int):
-    """Dispatch the fused device step for both strands (async, no sync).
+    """Dispatch the probe phase of the fused step for both strands (async).
 
-    Returns an opaque pending handle for :func:`collect_query_batch_fused`.
-    JAX dispatch is asynchronous, so the caller can dispatch batch i+1
-    before collecting batch i — host conversion overlaps device compute.
+    Two-phase extension: probe_step runs the DDF scan plus a 1-segment
+    extension of every candidate; collect_query_batch_fused prunes the
+    candidates that already look like junk (prune-only filter) and extends
+    only the compacted survivors to full length.  With the reference's
+    -n 100 most candidates are junk, so this cuts the dominant extension
+    cost ~4-5x on coverage-realistic data.
     """
     import jax.numpy as jnp
 
-    from .device_step import overlap_step
+    from .device_step import probe_step
 
     B = opts.scan_batch
     fwd, rev, lens = oriented_batch(db, query_ids, L_query)
@@ -231,64 +241,100 @@ def dispatch_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
     self_p, = pad_to_batch([self_ids], B)
 
     S, W = opts.align_segment, opts.align_band
-    msegs = max_segs_for(max(L_query, L_target), S)
     outs = {}
     for strand, bases in ((0, fwd_p), (1, rev_p)):
-        outs[strand] = overlap_step(
-            jnp.asarray(bases), jnp.asarray(lens_p), jnp.asarray(self_p),
+        bases_dev = jnp.asarray(bases)
+        lens_dev = jnp.asarray(lens_p)
+        cand, survive = probe_step(
+            bases_dev, lens_dev, jnp.asarray(self_p),
             dev["vol_codes"], dev["offsets"], dev["pos_rid"], dev["pos_loc"],
             dev["read_starts"], dev["read_lengths"], jnp.int32(cutoff),
             k=opts.kmer_size, stride=opts.scan_stride, max_occ=opts.max_occ,
             num_candidates=opts.num_candidates, diag_bin=opts.diag_bin,
-            L_target=L_target, S=S, W=W, max_segs=msegs,
-            min_align_size=opts.min_align_size,
-            min_identity=opts.min_identity)
-    return (outs, np.asarray(query_ids, dtype=np.int64), lens)
+            L_target=L_target, S=S, W=W,
+            min_block_score=opts.min_block_score)
+        outs[strand] = (cand, survive, bases_dev, lens_dev)
+    return (outs, np.asarray(query_ids, dtype=np.int64), lens,
+            L_target, max_segs_for(max(L_query, L_target), S), dev)
 
 
 def collect_query_batch_fused(pending, vol_base: int, vol_db: PackedDB,
                               opts: PwOptions, stats: PwStats) -> str:
-    """Sync one dispatched batch and format its M4 text block (columnar).
+    """Sync one dispatched batch: select survivors, extend, format M4.
 
     Dedup (best total span per (qid, sid, strand)) and field assembly are
     vectorised NumPy; serialization uses the native columnar writer.
     """
-    outs, qids, lens = pending
+    import jax.numpy as jnp
+
+    from .device_step import extend_selected
+
+    outs, qids, lens, L_target, msegs, dev = pending
     n = len(qids)
+    N = opts.num_candidates
+    S, W = opts.align_segment, opts.align_band
     cols = {k: [] for k in ("qid", "sid", "identity", "score", "qstrand",
                             "qstart", "qend", "qsize", "sstrand", "sstart",
                             "send", "ssize", "span", "qext", "sext")}
-    for strand, out in outs.items():
-        valid = (np.asarray(out.valid)[:n]
-                 & (np.asarray(out.score)[:n] >= opts.min_block_score))
-        r, c = np.nonzero(valid)
-        if len(r) == 0:
+    # phase 2 dispatch per strand (survive pull is the only sync: ~B*N bits)
+    phase2 = {}
+    for strand, (cand, survive, bases_dev, lens_dev) in outs.items():
+        surv = np.asarray(survive).copy()
+        surv[n:, :] = False
+        sel_np = np.flatnonzero(surv.reshape(-1)).astype(np.int32)
+        if len(sel_np) == 0:
             continue
-        tgt = np.asarray(out.target)[:n][r, c]
-        qbeg = np.asarray(out.qbeg)[:n][r, c]
-        qend = np.asarray(out.qend)[:n][r, c]
-        tbeg = np.asarray(out.tbeg)[:n][r, c]
-        tend = np.asarray(out.tend)[:n][r, c]
+        K = _bucket_k(len(sel_np))
+        sel_pad = np.zeros(K, np.int32)
+        sel_pad[:len(sel_np)] = sel_np
+        res, win0 = extend_selected(
+            bases_dev, lens_dev, dev["vol_codes"],
+            dev["read_starts"], dev["read_lengths"],
+            cand.target.reshape(-1).astype(jnp.int32),
+            cand.qseed.reshape(-1), cand.tseed.reshape(-1),
+            jnp.asarray(sel_pad), K=K, N=N, L_target=L_target,
+            S=S, W=W, max_segs=msegs)
+        phase2[strand] = (cand, sel_np, sel_pad, res, win0)
+        stats.candidates += len(sel_np)
+        stats.extended += len(sel_np)
+
+    for strand, (cand, sel_np, sel_pad, res, win0) in phase2.items():
+        m = len(sel_np)
+        ident = np.asarray(res.identity)[:m]
+        qbeg = np.asarray(res.qbeg)[:m]
+        qend = np.asarray(res.qend)[:m]
+        w0 = np.asarray(win0)[:m]
+        tbeg = np.asarray(res.tbeg)[:m] + w0  # window-local -> read coords
+        tend = np.asarray(res.tend)[:m] + w0
+        r = sel_np // N
+        tgt = np.asarray(cand.target).reshape(-1)[sel_np]
+        score = np.asarray(cand.score).reshape(-1)[sel_np]
         qsize = lens[r].astype(np.int64)
-        cols["qid"].append(qids[r] + 1)
-        cols["sid"].append(vol_base + tgt.astype(np.int64) + 1)
-        cols["identity"].append(np.asarray(out.identity)[:n][r, c])
-        cols["score"].append(np.asarray(out.score)[:n][r, c])
-        cols["qstrand"].append(np.zeros(len(r), np.int32))
+        keep = ((ident >= opts.min_identity)
+                & (np.minimum(qend - qbeg, tend - tbeg)
+                   >= opts.min_align_size))
+        if not keep.any():
+            continue
+        kk = np.nonzero(keep)[0]
+        qsize = qsize[kk]
+        qbeg, qend, tbeg, tend = qbeg[kk], qend[kk], tbeg[kk], tend[kk]
+        cols["qid"].append(qids[r[kk]] + 1)
+        cols["sid"].append(vol_base + tgt[kk].astype(np.int64) + 1)
+        cols["identity"].append(ident[kk])
+        cols["score"].append(score[kk])
+        cols["qstrand"].append(np.zeros(len(kk), np.int32))
         qs = np.where(strand == 0, qbeg, qsize - qend)
         qe = np.where(strand == 0, qend, qsize - qbeg)
         cols["qstart"].append(qs)
         cols["qend"].append(qe)
         cols["qsize"].append(qsize)
-        cols["sstrand"].append(np.full(len(r), strand, np.int32))
+        cols["sstrand"].append(np.full(len(kk), strand, np.int32))
         cols["sstart"].append(tbeg)
         cols["send"].append(tend)
-        cols["ssize"].append(vol_db.lengths[tgt].astype(np.int64))
+        cols["ssize"].append(vol_db.lengths[tgt[kk]].astype(np.int64))
         cols["span"].append((qend - qbeg) + (tend - tbeg))
-        cols["qext"].append(np.asarray(out.qseed)[:n][r, c])
-        cols["sext"].append(np.asarray(out.tseed)[:n][r, c])
-        stats.candidates += len(r)
-        stats.extended += len(r)
+        cols["qext"].append(np.asarray(cand.qseed).reshape(-1)[sel_np][kk])
+        cols["sext"].append(np.asarray(cand.tseed).reshape(-1)[sel_np][kk])
     if not cols["qid"]:
         return ""
     a = {k: np.concatenate(v) for k, v in cols.items()}
@@ -390,16 +436,25 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                 with met.stage("volume_pair", vi=vi, vj=vj), \
                         open(shard + ".tmp", "w") as fh:
                     if _use_fused(opts):
+                        # batches are LENGTH-SORTED so every batch pads to
+                        # its own bucket (one mega-read must not inflate
+                        # all batches), with seed-centred target windows
+                        # (~3x query length) bounding the target shape;
                         # depth-1 pipeline: dispatch batch k+1 (async JAX)
-                        # before collecting batch k, so host conversion and
-                        # device compute overlap
+                        # before collecting batch k
+                        order = (np.argsort(db.lengths[qa:qb],
+                                            kind="stable") + qa)
+                        vol_max = int(vol_db.lengths.max())
                         pending = None
-                        for bs in range(qa, qb, opts.scan_batch):
-                            qids = list(range(bs,
-                                              min(qb, bs + opts.scan_batch)))
+                        for bs in range(0, len(order), opts.scan_batch):
+                            qids = [int(q) for q in
+                                    order[bs:bs + opts.scan_batch]]
+                            L_q_b = bucket_length(
+                                int(db.lengths[qids].max()))
+                            L_t_b = bucket_length(min(vol_max, 3 * L_q_b))
                             nxt = dispatch_query_batch_fused(
                                 db, va, dev, idx.max_occ_cutoff, qids, opts,
-                                vol_db, L_query, L_target)
+                                vol_db, L_q_b, L_t_b)
                             if pending is not None:
                                 fh.write(collect_query_batch_fused(
                                     pending, va, vol_db, opts, stats))
