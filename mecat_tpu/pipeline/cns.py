@@ -234,17 +234,27 @@ def correct_batch_device(db: PackedDB, templates: List[int],
     import jax
     import jax.numpy as jnp
 
-    # the device tag tables cost L_t * D1 * 5 * 4 bytes per template slot:
-    # cap the templates handled per table allocation and recurse, so the
-    # CLI's partition size (-p, default 100k) never dictates HBM footprint
+    # the device tag tables cost L_t * D1 * 5 * 4 bytes per template slot.
+    # Sort templates by LENGTH and slice greedily so every sub-batch pads to
+    # its own L_t bucket AND stays under the table-bytes cap — one very long
+    # template must not dictate every sub-batch's shape, and the CLI's
+    # partition size (-p, default 100k) never dictates HBM footprint.
+    cap = int(os.environ.get("MECAT_TPU_CNS_TABLE_BYTES", 1 << 29))
     L_t_all = bucket_length(max(int(db.lengths[t]) for t in templates))
-    t_cap = max(1, int(os.environ.get("MECAT_TPU_CNS_TABLE_BYTES",
-                                      1 << 29)) // (L_t_all * 16 * 5 * 4))
-    if len(templates) > t_cap:
+    if len(templates) * L_t_all * 16 * 5 * 4 > cap:
+        by_len = sorted(templates, key=lambda t: int(db.lengths[t]))
         out: List[Tuple[str, np.ndarray]] = []
-        for ofs in range(0, len(templates), t_cap):
-            out += correct_batch_device(db, templates[ofs:ofs + t_cap],
-                                        by_template, opts, stats, dev_vol)
+        a = 0
+        while a < len(by_len):
+            b = a + 1
+            while b < len(by_len):
+                L_t_b = bucket_length(int(db.lengths[by_len[b]]))
+                if (b + 1 - a) * L_t_b * 16 * 5 * 4 > cap:
+                    break
+                b += 1
+            out += correct_batch_device(db, by_len[a:b], by_template, opts,
+                                        stats, dev_vol)
+            a = b
         return out
 
     pairs = []  # (template, support, dir, spos, tpos)
@@ -259,7 +269,10 @@ def correct_batch_device(db: PackedDB, templates: List[int],
     T = len(templates)
     slot_of = {t: i for i, t in enumerate(templates)}
     L_t = bucket_length(max(int(db.lengths[t]) for t in templates))
-    L_s = bucket_length(max(int(db.lengths[p[1]]) for p in pairs))
+    # supports are seed-windowed inside the chunk: their shape is bounded by
+    # the template, not by the longest support read in the volume
+    L_s = bucket_length(min(max(int(db.lengths[p[1]]) for p in pairs),
+                            3 * L_t))
     S, W = opts.align_segment, opts.align_band
     msegs = max_segs_for(max(L_t, L_s), S)
     P = opts.extend_batch
@@ -279,7 +292,7 @@ def correct_batch_device(db: PackedDB, templates: List[int],
 
     # vectorised pair metadata (the per-pair Python loop was host-bound)
     pairs_a = np.asarray(pairs, dtype=np.int64)     # [N, 5] t s dir spos tpos
-    all_qlen = np.minimum(db.lengths[pairs_a[:, 1]], L_s).astype(np.int32)
+    all_qlen = db.lengths[pairs_a[:, 1]].astype(np.int32)  # FULL lengths
     all_tlen = np.minimum(db.lengths[pairs_a[:, 0]], L_t).astype(np.int32)
     all_qs = np.clip(pairs_a[:, 3], 0, all_qlen - 1).astype(np.int32)
     all_ts = np.clip(pairs_a[:, 4], 0, all_tlen - 1).astype(np.int32)
@@ -351,7 +364,14 @@ def _cns_chunk_device(counts, cov_diff, has, vol, starts, lengths,
                       s_ids, t_ids, qlen, tlen, qs, ts, t_slot, sdir, real,
                       *, L_s, L_t, S, W, max_segs, min_identity,
                       min_align_size, min_mapping_ratio):
-    """One fully-device cns chunk: gather → orient → align → filter → tags."""
+    """One fully-device cns chunk: gather → orient → align → filter → tags.
+
+    Supports are gathered as SEED-CENTRED WINDOWS of L_s (callers bound
+    L_s ~ 3*L_t): the aligned span cannot exceed ~1.35x the template, so a
+    single very long support read must not inflate the chunk shapes.  qlen
+    carries the FULL support length (for the mapping-ratio filter); window
+    coordinates are handled internally.
+    """
     import jax
 
     key = (L_s, L_t, S, W, max_segs, float(min_identity),
@@ -364,18 +384,34 @@ def _cns_chunk_device(counts, cov_diff, has, vol, starts, lengths,
 
         def chunk(counts, cov_diff, has, vol, starts, lengths, s_ids, t_ids,
                   qlen, tlen, qs, ts, t_slot, sdir, real):
-            q_fwd = _gather_rows_dev(vol, starts, lengths, s_ids, L_s)
-            q = _orient_rows(q_fwd, qlen, sdir)
+            full = lengths[s_ids].astype(jnp.int32)
+            qs = jnp.clip(qs, 0, jnp.maximum(full - 1, 0))
+            # forward-coords seed, window, then orient the window
+            f = jnp.where(sdir == 1, full - 1 - qs, qs)
+            w0 = jnp.clip(f - L_s // 2, 0, jnp.maximum(full - L_s, 0))
+            vol_pad = jnp.concatenate(
+                [vol, jnp.zeros(L_s, dtype=vol.dtype)])
+            rows = jax.vmap(
+                lambda o: jax.lax.dynamic_slice(vol_pad, (o,), (L_s,)))(
+                starts[s_ids] + w0)
+            w_len = jnp.minimum(full - w0, L_s).astype(jnp.int32)
+            col = jnp.arange(L_s, dtype=jnp.int32)[None, :]
+            rows = jnp.where(col < w_len[:, None], rows, 0)
+            q = _orient_rows(rows, w_len, sdir)
+            qs_w = jnp.where(sdir == 0, qs - w0,
+                             qs - (full - w0 - w_len)).astype(jnp.int32)
+            qs_w = jnp.clip(qs_w, 0, jnp.maximum(w_len - 1, 0))
             t = _gather_rows_dev(vol, starts, lengths, t_ids, L_t)
             pa, right_t, left_t = extend_pair_batch_with_ops(
-                q, t, qlen, tlen, qs, ts, S=S, W=W, max_segs=max_segs)
+                q, t, w_len, tlen, qs_w, ts, S=S, W=W, max_segs=max_segs)
+            # mapping ratio is against the FULL support length
             ratio = (pa.qend - pa.qbeg) / jnp.maximum(1, qlen)
             keep = (real & (pa.identity >= min_identity)
                     & ((pa.tend - pa.tbeg) >= min_align_size)
                     & (ratio >= min_mapping_ratio))
             has2 = has.at[t_slot].max(keep)
             c2, v2 = accumulate_tags(counts, cov_diff, right_t, left_t,
-                                     qs, ts, q, qlen, tlen, t_slot, keep,
+                                     qs_w, ts, q, w_len, tlen, t_slot, keep,
                                      pa.tbeg, pa.tend, L_t=L_t)
             return c2, v2, has2
 

@@ -463,12 +463,18 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                             fh.write(collect_query_batch_fused(
                                 pending, va, vol_db, opts, stats))
                     else:
-                        for bs in range(qa, qb, opts.scan_batch):
-                            qids = list(range(bs,
-                                              min(qb, bs + opts.scan_batch)))
+                        # length-sorted batches for the staged path too:
+                        # shapes pad to each batch's own bucket
+                        order = (np.argsort(db.lengths[qa:qb],
+                                            kind="stable") + qa)
+                        for bs in range(0, len(order), opts.scan_batch):
+                            qids = [int(q) for q in
+                                    order[bs:bs + opts.scan_batch]]
+                            L_q_b = bucket_length(
+                                int(db.lengths[qids].max()))
                             m4s, cands = process_query_batch(
                                 db, va, dev, idx.max_occ_cutoff, qids, opts,
-                                vol_db, stats, L_query, L_target)
+                                vol_db, stats, L_q_b, L_target)
                             fh.write(format_block(m4s))
                             fh.write(format_block(cands))
                 os.replace(shard + ".tmp", shard)

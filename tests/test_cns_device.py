@@ -69,3 +69,43 @@ def test_device_table_cap_subbatching(pile, monkeypatch):
     sub = correct_batch_device(db, templates, by_t, opts, CnsStats())
     assert {n: s.tobytes() for n, s in full} == \
         {n: s.tobytes() for n, s in sub}
+
+
+def test_device_support_windows_mixed_lengths(tmp_path):
+    """Long supports vs short templates: the windowed device path must
+    match the host path exactly (windows always cover the alignment)."""
+    from mecat_tpu.io.fasta import write_fasta
+    from mecat_tpu.io.packed_db import PackedDB
+
+    genome = random_genome(30000, seed=61)
+    # short reads tile the middle; two very long reads span most of it
+    reads = []
+    for i in range(12):
+        a = 8000 + i * 1000
+        reads.append(np.asarray(genome[a:a + 1800]))
+    reads.append(np.asarray(genome[2000:28000]))    # 26 kb
+    reads.append(np.asarray(genome[0:25000]))       # 25 kb
+    lens = np.array([len(r) for r in reads], dtype=np.int32)
+    starts = np.zeros(len(reads), dtype=np.int64)
+    np.cumsum(lens[:-1].astype(np.int64), out=starts[1:])
+    db = PackedDB(np.concatenate(reads), starts, lens,
+                  [f"m{i}" for i in range(len(reads))])
+    d = tmp_path
+    reads_fa = str(d / "m.fa")
+    write_fasta(reads_fa, [(db.name(i), db.read(i))
+                           for i in range(db.n_reads)])
+    cand = str(d / "m_cand.txt")
+    run_pw(reads_fa, cand, str(d / "mw"),
+           PwOptions(task=0, kmer_size=10, scan_stride=4, num_candidates=16,
+                     scan_batch=8, min_block_score=2), db=db)
+    by_t = load_supports(cand, db, 0)
+    templates = sorted(by_t)
+    opts = CnsOptions(min_align_size=400, min_length=500, extend_batch=16,
+                      align_segment=128, align_band=64,
+                      min_mapping_ratio=0.05)
+    host = correct_batch(db, templates, by_t, opts, CnsStats())
+    dev = correct_batch_device(db, templates, by_t, opts, CnsStats())
+    host_d = {n: s.tobytes() for n, s in host}
+    dev_d = {n: s.tobytes() for n, s in dev}
+    assert len(host_d) > 0
+    assert host_d == dev_d
