@@ -254,6 +254,8 @@ def correct_batch_device(db: PackedDB, templates: List[int],
                 b += 1
             out += correct_batch_device(db, by_len[a:b], by_template, opts,
                                         stats, dev_vol)
+            log.info("cns: table slice %d-%d/%d done (%d corrected)",
+                     a, b, len(by_len), stats.corrected_reads)
             a = b
         return out
 
@@ -274,7 +276,10 @@ def correct_batch_device(db: PackedDB, templates: List[int],
     L_s = bucket_length(min(max(int(db.lengths[p[1]]) for p in pairs),
                             3 * L_t))
     S, W = opts.align_segment, opts.align_band
-    msegs = max_segs_for(max(L_t, L_s), S)
+    # per-DIRECTION consumption is bounded by ~1.4x the template (the
+    # support window is 3x L_t only to cover asymmetric seeds); sizing the
+    # segment scan off L_s doubled the ops-path DP + traceback cost
+    msegs = max_segs_for(min(max(L_t, L_s), int(1.4 * L_t) + 2 * S), S)
     P = opts.extend_batch
     D1 = C.MAX_INS_DELTA + 1
 
@@ -321,7 +326,13 @@ def correct_batch_device(db: PackedDB, templates: List[int],
     emit, cov_ok = call_tables(counts, cov_diff, tmpl_mat,
                                jnp.asarray(tmpl_len), has,
                                jnp.int32(opts.min_coverage))
-    emit = np.asarray(emit.astype(jnp.int8))
+    # pull only the delta slots that actually emitted anything: insertion
+    # runs longer than 1-2 are vanishingly rare, and the [T, L, 16] int8
+    # pull was the dominant per-slice transfer (prefix rule makes the
+    # truncation exact — dropped slots are all -1)
+    max_ins = int(jnp.max(jnp.sum((emit[:, :, 1:] >= 0).astype(jnp.int32),
+                                  axis=2)))
+    emit = np.asarray(emit[:, :, :max_ins + 1].astype(jnp.int8))
     cov_ok = np.asarray(cov_ok)
     has_support = np.asarray(has)
 
