@@ -234,8 +234,23 @@ def traceback_counts(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
     return m, alen + jnp.maximum(lead_del, 0), jnp.maximum(lead_del, 0)
 
 
+def max_tape_cols(S: int, W: int, min_seg_identity: float) -> int:
+    """Tape width sufficient for any segment that passes the identity gate.
+
+    A segment's alignment-column count a = m + mism + ins + del obeys
+    a <= 2*r_end + W/2 - (m + mism) (from r_end <= S and the band's
+    j_end - r_end <= W/2 drift limit) and m <= m + mism, so with the
+    seg_step acceptance rule (identity m/a >= p, or a < 32) the worst
+    accepted segment has a <= (2S + W/2)/(1 + p).  Segments failing the
+    gate keep their tapes but are masked to n_cols = 0 by the caller, so
+    truncating their walk is harmless.  Rounded up to a lane multiple.
+    """
+    bound = int((2 * S + W // 2) / (1.0 + min_seg_identity)) + 1
+    return min(2 * S + W, -(-max(bound, 32) // 64) * 64)
+
+
 def traceback_ops(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
-                  w_end: jnp.ndarray, W: int):
+                  w_end: jnp.ndarray, W: int, max_cols: int = 0):
     """Batched traceback emitting the full op tape (for consensus tags).
 
     Returns (ops, qi, tj, n_cols):
@@ -246,12 +261,14 @@ def traceback_ops(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
       tj:  int32 [B, MAXC] target char index (for insertions: the target
         position the insert precedes);
       n_cols: int32 [B].
-    MAXC = 2*S + W (worst-case column count of one segment).
-    moves: packed [S, W//16, B] (see banded_dp_segment).
+    MAXC = max_cols if given else 2*S + W (the unconditional worst case);
+    callers that gate segments on identity can pass max_tape_cols(...) —
+    the serial walk length and every downstream per-column array shrink
+    with it.  moves: packed [S, W//16, B] (see banded_dp_segment).
     """
     S, Wp, B = moves.shape
     half = W // 2
-    MAXC = 2 * S + W
+    MAXC = max_cols if max_cols else 2 * S + W
     flat = moves.reshape(S * Wp, B)
 
     def body(state, _):
@@ -392,12 +409,11 @@ def _extend_direction_impl(q_pad, t_pad, q0, t0, qlen, tlen, *, S, W,
     if collect_ops:
         (qoff, toff, dist, matches, alen, _), raw = jax.lax.scan(
             seg_step, init, None, length=max_segs)
-        moves_all, r_end_all, w_end_all, qoff_all, toff_all, ok_all = raw
-        ops, qi, tj, ncols = jax.vmap(
-            lambda m, r, w: traceback_ops(m, r, w, W))(
-            moves_all, r_end_all, w_end_all)
-        ys = (ops, qi, tj, jnp.where(ok_all, ncols, 0),
-              qoff_all, toff_all, ok_all)
+        # raw = (moves, r_end, w_end, qoff_before, toff_before, ok); the
+        # caller runs ONE traceback over both directions' segments combined
+        # (the serial MAXC-step walk is latency-bound, so separate walks
+        # per direction doubled its cost).
+        ys = raw
     else:
         # early exit once every pair has stopped extending: most pairs use
         # far fewer than max_segs segments, and DP cost scales with the max
@@ -445,9 +461,10 @@ class PairAlignment(NamedTuple):
 
 
 def _pair_batch_impl(q, t, qlen, tlen, qseed, tseed, *, S, W, max_segs,
-                     min_seg_identity, collect_ops):
+                     min_seg_identity, collect_ops, max_segs_left=0):
     B, Lq = q.shape
     Lt = t.shape[1]
+    max_segs_left = max_segs_left or max_segs
 
     def pad(a, extra, sentinel):
         out = jnp.full((B, a.shape[1] + extra), sentinel, dtype=a.dtype)
@@ -464,14 +481,32 @@ def _pair_batch_impl(q, t, qlen, tlen, qseed, tseed, *, S, W, max_segs,
     q_rev = pad(jnp.flip(qm, axis=1), S, Q_SENTINEL)
     t_rev = pad(jnp.flip(tm, axis=1), S + W, T_SENTINEL)
 
-    right, right_ys = _extend_direction_impl(
+    right, right_raw = _extend_direction_impl(
         q_fwd, t_fwd, qseed, tseed, qlen - qseed, tlen - tseed,
         S=S, W=W, max_segs=max_segs, min_seg_identity=min_seg_identity,
         collect_ops=collect_ops)
-    left, left_ys = _extend_direction_impl(
+    left, left_raw = _extend_direction_impl(
         q_rev, t_rev, Lq - qseed, Lt - tseed, qseed, tseed,
-        S=S, W=W, max_segs=max_segs, min_seg_identity=min_seg_identity,
+        S=S, W=W, max_segs=max_segs_left, min_seg_identity=min_seg_identity,
         collect_ops=collect_ops)
+
+    right_ys = left_ys = None
+    if collect_ops:
+        # one batched traceback over BOTH directions' segments (2*max_segs
+        # lanes, a single serial walk) with the identity-gated tape width
+        TC = max_tape_cols(S, W, min_seg_identity)
+        moves2, r2, w2, qo2, to2, ok2 = [
+            jnp.concatenate([r, l], axis=0)
+            for r, l in zip(right_raw, left_raw)]
+        ops2, qi2, tj2, nc2 = jax.vmap(
+            lambda m, r, w: traceback_ops(m, r, w, W, max_cols=TC))(
+            moves2, r2, w2)
+        nc2 = jnp.where(ok2, nc2, 0)
+        G = max_segs
+        right_ys = (ops2[:G], qi2[:G], tj2[:G], nc2[:G], qo2[:G], to2[:G],
+                    ok2[:G])
+        left_ys = (ops2[G:], qi2[G:], tj2[G:], nc2[G:], qo2[G:], to2[G:],
+                   ok2[G:])
 
     matches = left.matches + right.matches
     alen = left.align_len + right.align_len
@@ -504,22 +539,27 @@ def extend_pair_batch(q: jnp.ndarray, t: jnp.ndarray,
     return pa
 
 
-@partial(jax.jit, static_argnames=("S", "W", "max_segs", "min_seg_identity"))
+@partial(jax.jit, static_argnames=("S", "W", "max_segs", "min_seg_identity",
+                                   "max_segs_left"))
 def extend_pair_batch_with_ops(q: jnp.ndarray, t: jnp.ndarray,
                                qlen: jnp.ndarray, tlen: jnp.ndarray,
                                qseed: jnp.ndarray, tseed: jnp.ndarray,
                                *, S: int = C.ALIGN_SEGMENT,
                                W: int = C.ALIGN_BAND, max_segs: int = 64,
-                               min_seg_identity: float = C.MIN_SEGMENT_IDENTITY
-                               ):
+                               min_seg_identity: float = C.MIN_SEGMENT_IDENTITY,
+                               max_segs_left: int = 0):
     """extend_pair_batch + per-segment op tapes for consensus (mecat2cns).
 
     Returns (PairAlignment, right_tapes, left_tapes); each tapes tuple is
-    (ops[max_segs,B,MAXC], qi, tj, n_cols[max_segs,B], qoff_before,
-    toff_before, applied[max_segs,B]) in the respective direction's local
-    coordinates (left direction: positions in the REVERSED prefixes).
+    (ops[G,B,MAXC], qi, tj, n_cols[G,B], qoff_before, toff_before,
+    applied[G,B]) in the respective direction's local coordinates (left
+    direction: positions in the REVERSED prefixes).  G is max_segs for the
+    right tapes and max_segs_left (default max_segs) for the left tapes —
+    callers that know the seed's position in the template can budget each
+    direction separately, and every per-segment cost (DP, traceback lanes,
+    tag-fold width) scales with the budget.
     """
     return _pair_batch_impl(q, t, qlen, tlen, qseed, tseed, S=S, W=W,
                             max_segs=max_segs,
                             min_seg_identity=min_seg_identity,
-                            collect_ops=True)
+                            collect_ops=True, max_segs_left=max_segs_left)

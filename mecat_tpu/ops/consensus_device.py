@@ -121,6 +121,74 @@ def ops_stream(right_t, left_t, qseed, tseed, CW: int) -> jnp.ndarray:
     return o.astype(jnp.int8)
 
 
+def _direction_tags(ops, qi, tj, n, ok, qpos_map, tpos_map,
+                    anchor0, trail0, left_aligned=False):
+    """One direction's tapes → per-column (ops, pos, delta, qpos) + carries.
+
+    Works in FORWARD template order assuming stored order == forward order
+    (right direction; the left direction is handled by the caller flipping
+    both the segment and column axes and mapping coordinates first — after
+    the column flip real columns sit at the HEAD of the axis, signalled by
+    ``left_aligned``).
+
+    The insertion anchor (most recent non-insertion column's template
+    position) and the run delta (columns since that anchor) are computed
+    with per-segment cummax plus a tiny [G, B] carry scan over segments —
+    no cross-segment stream compaction (the former [B, CW] scatter-based
+    compaction was the dominant cost of the whole cns chunk on v5e).
+
+    anchor0/trail0: int32 [B] carries entering this direction (anchor
+    template pos or -1; trailing-insertion column count since that anchor).
+    Returns (pos, delta, valid, qpos_abs, anchor_out, trail_out).
+    """
+    G, B, MAXC = ops.shape
+    n = jnp.where(ok, n, 0).astype(jnp.int32)                  # [G, B]
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (G, B, MAXC), 2)
+    if left_aligned:
+        valid = (c_idx < n[:, :, None]) & (ops >= 0)
+        local = c_idx                                          # 0-based in seg
+    else:
+        valid = (c_idx >= (MAXC - n[:, :, None])) & (ops >= 0)
+        local = c_idx - (MAXC - n[:, :, None])                 # 0-based in seg
+    is_ins = valid & (ops == MOVE_VERT)
+    non_ins = valid & ~is_ins
+
+    qpos = qpos_map(qi)                                        # [G, B, MAXC]
+    tpos = tpos_map(tj)
+
+    # within-segment anchor: non-ins tpos is non-decreasing in forward order
+    last_local = jax.lax.cummax(jnp.where(non_ins, local, -1), axis=2)
+    anchor_local = jax.lax.cummax(jnp.where(non_ins, tpos, -1), axis=2)
+
+    # per-segment summaries for the carry scan
+    seg_anchor = anchor_local[:, :, -1]                        # [G, B] or -1
+    seg_last = last_local[:, :, -1]                            # [G, B] or -1
+    seg_trail = jnp.where(seg_last >= 0, n - 1 - seg_last, n)
+
+    def carry_step(carry, xs):
+        anc, trail = carry
+        s_anchor, s_trail, s_n = xs
+        has = s_anchor >= 0
+        anc2 = jnp.where(has, s_anchor, anc)
+        trail2 = jnp.where(has, s_trail, trail + s_n)
+        return (anc2, trail2), (anc, trail)
+
+    (anchor_out, trail_out), (anc_in, trail_in) = jax.lax.scan(
+        carry_step, (anchor0, trail0), (seg_anchor, seg_trail, n))
+
+    # resolve anchors/deltas: local anchor wins, else the segment carry
+    has_local = last_local >= 0
+    pos = jnp.where(is_ins,
+                    jnp.where(has_local, anchor_local, anc_in[:, :, None]),
+                    tpos)
+    delta = jnp.where(is_ins,
+                      jnp.where(has_local, local - last_local,
+                                local + 1 + trail_in[:, :, None]),
+                      0)
+    pos = jnp.where(is_ins & (pos < 0), -1, pos)
+    return pos, delta, valid, qpos, anchor_out, trail_out
+
+
 @partial(jax.jit, static_argnames=("L_t", "max_delta"), donate_argnums=(0, 1))
 def accumulate_tags(counts: jnp.ndarray,        # int32 [T, L_t, D1, 5]
                     cov_diff: jnp.ndarray,      # int32 [T, L_t + 1]
@@ -136,39 +204,88 @@ def accumulate_tags(counts: jnp.ndarray,        # int32 [T, L_t, D1, 5]
                     *, L_t: int,
                     max_delta: int = C.MAX_INS_DELTA
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fold one extension batch's alignments into the device tag tables."""
+    """Fold one extension batch's alignments into the device tag tables.
+
+    Tags are derived DIRECTLY from the per-segment tapes (insertion anchors
+    via per-segment cummax + a [G, B] carry scan), then scatter-added once.
+    The left direction is flipped on both axes so the same forward-order
+    code serves both; its exit carries seed the right direction so
+    insertion runs spanning the seed point stay exact (differential tests
+    against the host CnsTable path assert equality).
+    """
     G, B, MAXC = right_t[0].shape
     D1 = max_delta + 1
-    # total alignment columns <= query advance + template advance
-    L_s = support.shape[1]
-    CW = min(2 * G * MAXC, -(-(L_s + L_t + 2) // 128) * 128)
-    ops_s, qpos_s, tpos_s = _build_streams(right_t, left_t, qseed, tseed, CW)
-
-    cw = jnp.arange(CW, dtype=jnp.int32)[None, :]
-    valid_col = ops_s >= 0
-    is_ins = ops_s == MOVE_VERT
-    non_ins = valid_col & ~is_ins
-    last_non_ins = jax.lax.cummax(jnp.where(non_ins, cw, -1), axis=1)
-    # anchor tpos without a gather: non-ins template positions are
-    # non-decreasing along the forward stream, so a running max IS the most
-    # recent one
-    anchor_tpos = jax.lax.cummax(jnp.where(non_ins, tpos_s, -1), axis=1)
-    pos = jnp.where(is_ins, anchor_tpos, tpos_s)
-    pos = jnp.where(is_ins & (last_non_ins < 0), -1, pos)
-    delta = jnp.where(is_ins, cw - last_non_ins, 0)
-    base_q = jnp.take_along_axis(
-        support.astype(jnp.int32),
-        jnp.clip(qpos_s, 0, jnp.maximum(qlen - 1, 0)[:, None]), axis=1)
-    base = jnp.where(ops_s == MOVE_HORIZ, GAP, base_q)
-
-    keep = (valid_col & pair_ok[:, None]
-            & (pos >= 0) & (pos < tlen[:, None])
-            & (delta <= max_delta))
-    flat_idx = (((t_slot[:, None] * L_t + pos) * D1 + delta) * 5 + base)
     T = counts.shape[0]
-    flat_idx = jnp.where(keep, flat_idx, T * L_t * D1 * 5)
-    counts = counts.reshape(-1).at[flat_idx.reshape(-1)].add(
-        keep.reshape(-1).astype(jnp.int32), mode="drop").reshape(counts.shape)
+
+    def tag_arrays(direction_t, reverse):
+        ops, qi, tj, n, qo, to, ok = direction_t
+        if reverse:
+            # forward template order = reversed segment order, reversed
+            # within segment: flip both axes.  The stored tapes are
+            # right-aligned, so after the column flip real columns occupy
+            # the HEAD of the axis in forward order — handled by
+            # left_aligned=True (no re-alignment gather).
+            ops = jnp.flip(ops, axis=(0, 2))
+            qi = jnp.flip(qi, axis=(0, 2))
+            tj = jnp.flip(tj, axis=(0, 2))
+            n = jnp.flip(n, axis=0)
+            qo = jnp.flip(qo, axis=0)
+            to = jnp.flip(to, axis=0)
+            ok = jnp.flip(ok, axis=0)
+            qpos_map = lambda qi_: jnp.where(
+                qi_ >= 0, qseed[None, :, None] - 1 - (qo[:, :, None] + qi_),
+                -1)
+            tpos_map = lambda tj_: (tseed[None, :, None] - 1
+                                    - (to[:, :, None] + tj_))
+        else:
+            qpos_map = lambda qi_: jnp.where(
+                qi_ >= 0, qseed[None, :, None] + qo[:, :, None] + qi_, -1)
+            tpos_map = lambda tj_: tseed[None, :, None] + to[:, :, None] + tj_
+        return (ops.astype(jnp.int32), qi, tj, n, ok), qpos_map, tpos_map
+
+    zero = jnp.zeros_like(qseed)
+    neg1 = jnp.full_like(qseed, -1)
+    (l_ops, l_qi, l_tj, l_n, l_ok), l_qmap, l_tmap = tag_arrays(left_t, True)
+    l_pos, l_delta, l_valid, l_qpos, anc, trail = _direction_tags(
+        l_ops, l_qi, l_tj, l_n, l_ok, l_qmap, l_tmap, neg1, zero,
+        left_aligned=True)
+    (r_ops, r_qi, r_tj, r_n, r_ok), r_qmap, r_tmap = tag_arrays(right_t,
+                                                                False)
+    r_pos, r_delta, r_valid, r_qpos, _, _ = _direction_tags(
+        r_ops, r_qi, r_tj, r_n, r_ok, r_qmap, r_tmap, anc, trail)
+
+    # Tag fold: scatter-ADD is ~10x slower per element than scatter-SET on
+    # v5e (XLA serialises adds against collisions).  Within one PAIR every
+    # (pos, delta) tag is unique — non-insertion columns consume distinct
+    # template positions, insertion runs have distinct deltas, and runs
+    # spanning the seed continue the same anchor — so the fold becomes:
+    # unique-indices scatter-SET into a per-pair one-hot presence buffer
+    # [B, F], then an int8 MATMUL with the pair→slot one-hot [T, B] reduces
+    # over pairs on the MXU.  No scatter-add anywhere.
+    F = L_t * D1 * 5
+    pres = jnp.zeros((B * F,), jnp.int8)
+
+    def presence_set(pres, ops, pos, delta, valid, qpos):
+        b_iota = jax.lax.broadcasted_iota(jnp.int32, ops.shape, 1)
+        base_q = support.astype(jnp.int32)[
+            jnp.arange(B, dtype=jnp.int32)[None, :, None],
+            jnp.clip(qpos, 0, jnp.maximum(qlen - 1, 0)[None, :, None])]
+        base = jnp.where(ops == MOVE_HORIZ, GAP, base_q)
+        keep = (valid & pair_ok[None, :, None]
+                & (pos >= 0) & (pos < tlen[None, :, None])
+                & (delta <= max_delta))
+        flat_idx = b_iota * F + ((pos * D1 + delta) * 5 + base)
+        flat_idx = jnp.where(keep, flat_idx, B * F)   # out of bounds: drop
+        return pres.at[flat_idx.reshape(-1)].set(
+            jnp.int8(1), mode="drop", unique_indices=True)
+
+    pres = presence_set(pres, l_ops, l_pos, l_delta, l_valid, l_qpos)
+    pres = presence_set(pres, r_ops, r_pos, r_delta, r_valid, r_qpos)
+    onehot = ((t_slot[None, :] == jnp.arange(T, dtype=jnp.int32)[:, None])
+              & pair_ok[None, :]).astype(jnp.int8)
+    contrib = jax.lax.dot(onehot, pres.reshape(B, F),
+                          preferred_element_type=jnp.int32)
+    counts = counts + contrib.reshape(counts.shape)
 
     # coverage diff: +1 at clip(tbeg), -1 at min(tend, tlen), when b > a
     a = jnp.clip(tbeg, 0, L_t)

@@ -285,13 +285,13 @@ def correct_batch_device(db: PackedDB, templates: List[int],
 
     if dev_vol is None:
         dev_vol = device_volume(db)
-    vol, starts_d, lengths_d = dev_vol
+    vol_cat, starts_d, lengths_d, n_bases = dev_vol
 
     counts = jnp.zeros((T, L_t, D1, 5), jnp.int32)
     cov_diff = jnp.zeros((T, L_t + 1), jnp.int32)
     has = jnp.zeros(T, dtype=bool)
     tmpl_ids = jnp.asarray(np.asarray(templates, dtype=np.int32))
-    tmpl_mat = _gather_rows_dev(vol, starts_d, lengths_d, tmpl_ids, L_t)
+    tmpl_mat = _gather_rows_dev(vol_cat, starts_d, lengths_d, tmpl_ids, L_t)
     tmpl_len = np.minimum(db.lengths[np.asarray(templates)],
                           L_t).astype(np.int32)
 
@@ -301,23 +301,52 @@ def correct_batch_device(db: PackedDB, templates: List[int],
     all_tlen = np.minimum(db.lengths[pairs_a[:, 0]], L_t).astype(np.int32)
     all_qs = np.clip(pairs_a[:, 3], 0, all_qlen - 1).astype(np.int32)
     all_ts = np.clip(pairs_a[:, 4], 0, all_tlen - 1).astype(np.int32)
+
+    # Per-direction segment budgets, exact from host-side metadata: the
+    # template consumed right of the seed is <= tlen - ts (left: ts + 1),
+    # every applied non-final segment advances >= S - S//4 query bases, and
+    # band drift bounds q_adv - t_adv by W//2 per segment, giving
+    # segs <= (span/eff + 1) * eff/(eff - W//2).  Chunks are grouped by
+    # budget so one long one-sided pair cannot widen every chunk's DP scan,
+    # traceback lane count and tag-fold width (budget-sized, the dominant
+    # cns costs on v5e).
+    eff = S - S // 4
+    factor = eff / (eff - W // 2)
+    segs_r = np.ceil(factor * ((all_tlen - all_ts) / eff + 1)).astype(np.int64)
+    segs_l = np.ceil(factor * ((all_ts + 1) / eff + 1)).astype(np.int64)
+    segs_r = np.minimum(segs_r, msegs)
+    segs_l = np.minimum(segs_l, msegs)
+    order = np.argsort(segs_r + segs_l, kind="stable")
+    pairs_a = pairs_a[order]
+    all_qlen, all_tlen = all_qlen[order], all_tlen[order]
+    all_qs, all_ts = all_qs[order], all_ts[order]
+    segs_r, segs_l = segs_r[order], segs_l[order]
     all_slot = np.asarray([slot_of[t] for t in pairs_a[:, 0]], np.int32)
+
+    def seg_bucket(n: int) -> int:
+        for b in (4, 6, 8, 12, 16, 24, 32, 48, 64, 96):
+            if n <= b:
+                return min(b, msegs)
+        return msegs
 
     for ofs in range(0, len(pairs), P):
         sl = slice(ofs, ofs + P)
         n = len(pairs_a[sl])
         real = np.zeros(P, dtype=bool)
         real[:n] = True
+        msegs_r = seg_bucket(int(segs_r[sl].max()))
+        msegs_l = seg_bucket(int(segs_l[sl].max()))
         s_ids, t_ids, qlen, tlen, qs, ts, t_slot, sdir, real_p = pad_to_batch(
             [pairs_a[sl, 1].astype(np.int32), pairs_a[sl, 0].astype(np.int32),
              all_qlen[sl], all_tlen[sl], all_qs[sl], all_ts[sl],
              all_slot[sl], pairs_a[sl, 2].astype(np.int32), real[:n]], P)
         counts, cov_diff, has = _cns_chunk_device(
-            counts, cov_diff, has, vol, starts_d, lengths_d,
+            counts, cov_diff, has, vol_cat, starts_d, lengths_d, n_bases,
             jnp.asarray(s_ids), jnp.asarray(t_ids), jnp.asarray(qlen),
             jnp.asarray(tlen), jnp.asarray(qs), jnp.asarray(ts),
             jnp.asarray(t_slot), jnp.asarray(sdir), jnp.asarray(real_p),
-            L_s=L_s, L_t=L_t, S=S, W=W, max_segs=msegs,
+            L_s=L_s, L_t=L_t, S=S, W=W, max_segs=msegs_r,
+            max_segs_left=msegs_l,
             min_identity=opts.min_identity,
             min_align_size=opts.min_align_size,
             min_mapping_ratio=opts.min_mapping_ratio)
@@ -351,41 +380,61 @@ def correct_batch_device(db: PackedDB, templates: List[int],
 
 
 def device_volume(db: PackedDB):
-    """Upload the volume once for device-side row gathers."""
+    """Upload the volume once: [fwd bases | revcomp bases | zero slack].
+
+    Returns (vol_cat, starts, lengths, n_bases).  With the reverse
+    complement resident, an ORIENTED seed-centred support window is one
+    contiguous dynamic_slice from either half — the former per-element
+    orient gather (take_along_axis over the window) cost ~10 ns/element on
+    v5e and dominated the chunk's gather stage.  rc(read r)[x] lives at
+    vol_cat[2*n_bases - starts[r] - lengths[r] + x].
+    """
     import jax.numpy as jnp
 
-    return (jnp.asarray(db.codes), jnp.asarray(db.starts.astype(np.int32)),
-            jnp.asarray(db.lengths))
+    vol = jnp.asarray(db.codes)
+    n_bases = int(vol.shape[0])
+    slack = int(3 * int(db.lengths.max()) + 1024) if db.n_reads else 1024
+    vol_cat = jnp.concatenate([
+        vol, (3 - vol[::-1].astype(jnp.int32)).astype(vol.dtype),
+        jnp.zeros((slack,), dtype=vol.dtype)])
+    return (vol_cat, jnp.asarray(db.starts.astype(np.int32)),
+            jnp.asarray(db.lengths), n_bases)
 
 
-def _gather_rows_dev(vol, starts, lengths, ids, L: int):
-    """[B, L] rows from the flat device volume (vmapped dynamic_slice)."""
+def _gather_rows_dev(vol_cat, starts, lengths, ids, L: int):
+    """[B, L] forward rows from the device volume (vmapped dynamic_slice).
+
+    vol_cat carries the rc half + zero slack after the forward bases, so
+    slices never clamp for any realistic L.
+    """
     import jax
     import jax.numpy as jnp
 
-    vol_pad = jnp.concatenate([vol, jnp.zeros(L, dtype=vol.dtype)])
     offs = starts[ids]
     rows = jax.vmap(
-        lambda o: jax.lax.dynamic_slice(vol_pad, (o,), (L,)))(offs)
+        lambda o: jax.lax.dynamic_slice(vol_cat, (o,), (L,)))(offs)
     col = jnp.arange(L, dtype=jnp.int32)[None, :]
     return jnp.where(col < jnp.minimum(lengths[ids], L)[:, None], rows, 0)
 
 
-def _cns_chunk_device(counts, cov_diff, has, vol, starts, lengths,
-                      s_ids, t_ids, qlen, tlen, qs, ts, t_slot, sdir, real,
-                      *, L_s, L_t, S, W, max_segs, min_identity,
-                      min_align_size, min_mapping_ratio):
-    """One fully-device cns chunk: gather → orient → align → filter → tags.
+def _cns_chunk_device(counts, cov_diff, has, vol_cat, starts, lengths,
+                      n_bases, s_ids, t_ids, qlen, tlen, qs, ts, t_slot,
+                      sdir, real, *, L_s, L_t, S, W, max_segs, max_segs_left,
+                      min_identity, min_align_size, min_mapping_ratio):
+    """One fully-device cns chunk: gather → align → filter → tags.
 
     Supports are gathered as SEED-CENTRED WINDOWS of L_s (callers bound
     L_s ~ 3*L_t): the aligned span cannot exceed ~1.35x the template, so a
-    single very long support read must not inflate the chunk shapes.  qlen
-    carries the FULL support length (for the mapping-ratio filter); window
-    coordinates are handled internally.
+    single very long support read must not inflate the chunk shapes.
+    Orientation costs nothing: the window is one contiguous dynamic_slice
+    from the fwd or rc half of vol_cat (see device_volume).  qlen carries
+    the FULL support length (for the mapping-ratio filter); window
+    coordinates are handled internally.  max_segs / max_segs_left budget
+    the right/left extension scans per chunk (see correct_batch_device).
     """
     import jax
 
-    key = (L_s, L_t, S, W, max_segs, float(min_identity),
+    key = (L_s, L_t, S, W, max_segs, max_segs_left, float(min_identity),
            int(min_align_size), float(min_mapping_ratio))
     fn = _CNS_CHUNK_CACHE.get(key)
     if fn is None:
@@ -393,28 +442,24 @@ def _cns_chunk_device(counts, cov_diff, has, vol, starts, lengths,
         from ..ops.consensus_device import accumulate_tags
         import jax.numpy as jnp
 
-        def chunk(counts, cov_diff, has, vol, starts, lengths, s_ids, t_ids,
-                  qlen, tlen, qs, ts, t_slot, sdir, real):
+        def chunk(counts, cov_diff, has, vol_cat, starts, lengths, n_bases,
+                  s_ids, t_ids, qlen, tlen, qs, ts, t_slot, sdir, real):
             full = lengths[s_ids].astype(jnp.int32)
-            qs = jnp.clip(qs, 0, jnp.maximum(full - 1, 0))
-            # forward-coords seed, window, then orient the window
-            f = jnp.where(sdir == 1, full - 1 - qs, qs)
-            w0 = jnp.clip(f - L_s // 2, 0, jnp.maximum(full - L_s, 0))
-            vol_pad = jnp.concatenate(
-                [vol, jnp.zeros(L_s, dtype=vol.dtype)])
+            qs_c = jnp.clip(qs, 0, jnp.maximum(full - 1, 0))
+            w0 = jnp.clip(qs_c - L_s // 2, 0, jnp.maximum(full - L_s, 0))
+            start = jnp.where(sdir == 0, starts[s_ids] + w0,
+                              2 * n_bases - starts[s_ids] - full + w0)
             rows = jax.vmap(
-                lambda o: jax.lax.dynamic_slice(vol_pad, (o,), (L_s,)))(
-                starts[s_ids] + w0)
+                lambda o: jax.lax.dynamic_slice(vol_cat, (o,), (L_s,)))(
+                start)
             w_len = jnp.minimum(full - w0, L_s).astype(jnp.int32)
             col = jnp.arange(L_s, dtype=jnp.int32)[None, :]
-            rows = jnp.where(col < w_len[:, None], rows, 0)
-            q = _orient_rows(rows, w_len, sdir)
-            qs_w = jnp.where(sdir == 0, qs - w0,
-                             qs - (full - w0 - w_len)).astype(jnp.int32)
-            qs_w = jnp.clip(qs_w, 0, jnp.maximum(w_len - 1, 0))
-            t = _gather_rows_dev(vol, starts, lengths, t_ids, L_t)
+            q = jnp.where(col < w_len[:, None], rows, 0)
+            qs_w = (qs_c - w0).astype(jnp.int32)
+            t = _gather_rows_dev(vol_cat, starts, lengths, t_ids, L_t)
             pa, right_t, left_t = extend_pair_batch_with_ops(
-                q, t, w_len, tlen, qs_w, ts, S=S, W=W, max_segs=max_segs)
+                q, t, w_len, tlen, qs_w, ts, S=S, W=W, max_segs=max_segs,
+                max_segs_left=max_segs_left)
             # mapping ratio is against the FULL support length
             ratio = (pa.qend - pa.qbeg) / jnp.maximum(1, qlen)
             keep = (real & (pa.identity >= min_identity)
@@ -428,7 +473,8 @@ def _cns_chunk_device(counts, cov_diff, has, vol, starts, lengths,
 
         fn = jax.jit(chunk, donate_argnums=(0, 1, 2))
         _CNS_CHUNK_CACHE[key] = fn
-    return fn(counts, cov_diff, has, vol, starts, lengths, s_ids, t_ids,
+    return fn(counts, cov_diff, has, vol_cat, starts, lengths,
+              np.int32(n_bases), s_ids, t_ids,
               qlen, tlen, qs, ts, t_slot, sdir, real)
 
 
