@@ -39,6 +39,7 @@ def tapes_to_columns(right_tapes, left_tapes, qseed, tseed, n_pairs=None):
     l_ops, l_qi, l_tj, l_n, l_qo, l_to, l_ok = [np.asarray(x)
                                                 for x in left_tapes]
     G, B, MAXC = r_ops.shape
+    GL = l_ops.shape[0]    # per-direction segment budgets may differ
     qseed = np.asarray(qseed)
     tseed = np.asarray(tseed)
     n_pairs = B if n_pairs is None else n_pairs
@@ -46,7 +47,7 @@ def tapes_to_columns(right_tapes, left_tapes, qseed, tseed, n_pairs=None):
         chunks = []
         # left direction: reversed-prefix coords; later segments are further
         # left on the template, and within a segment the tape is reversed.
-        for g in range(G - 1, -1, -1):
+        for g in range(GL - 1, -1, -1):
             if not l_ok[g, b] or l_n[g, b] <= 0:
                 continue
             n = int(l_n[g, b])

@@ -139,3 +139,64 @@ def test_extension_stops_at_junk():
     qend = int(res.qend[0])
     assert 750 <= qend <= 1100, qend
     assert float(res.identity[0]) > 85.0
+
+
+def test_ops_tapes_invariant_to_segment_budgets():
+    """Tags/tapes must not depend on the per-direction max_segs budgets.
+
+    mecat2cns sizes max_segs / max_segs_left per chunk from host-side span
+    bounds (pipeline/cns.correct_batch_device); any budget at least as large
+    as the segments actually applied must give identical alignments and
+    identical op tapes (compared as right-aligned column lists).
+    """
+    from mecat_tpu.ops.align import extend_pair_batch_with_ops
+    from mecat_tpu.ops.consensus import tapes_to_columns
+
+    rng = np.random.default_rng(123)
+    B, Lq, Lt = 4, 700, 700
+    q = np.zeros((B, Lq), np.uint8)
+    t = np.zeros((B, Lt), np.uint8)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    qseed = np.zeros(B, np.int32)
+    tseed = np.zeros(B, np.int32)
+    for b in range(B):
+        base = rng.integers(0, 4, size=Lt, dtype=np.uint8)
+        mut = mutate(base, rng, 0.04, 0.03, 0.03)[: Lq]
+        t[b, : len(base)] = base
+        q[b, : len(mut)] = mut
+        qlen[b], tlen[b] = len(mut), len(base)
+        # one seed near the middle, one hard against an edge
+        qseed[b] = 10 if b % 2 else len(mut) // 2
+        tseed[b] = 10 if b % 2 else len(base) // 2
+
+    def run(ms, msl):
+        pa, r, l = extend_pair_batch_with_ops(
+            jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen),
+            jnp.asarray(tlen), jnp.asarray(qseed), jnp.asarray(tseed),
+            S=S, W=W, max_segs=ms, max_segs_left=msl)
+        cols = tapes_to_columns(r, l, qseed, tseed)
+        return pa, cols
+
+    pa_big, cols_big = run(24, 24)
+    pa_tight, cols_tight = run(16, 8)
+    for f_big, f_tight in zip(pa_big, pa_tight):
+        assert np.array_equal(np.asarray(f_big), np.asarray(f_tight))
+    for (o1, q1, t1), (o2, q2, t2) in zip(cols_big, cols_tight):
+        assert np.array_equal(o1, o2)
+        assert np.array_equal(q1, q2)
+        assert np.array_equal(t1, t2)
+
+
+def test_max_tape_cols_never_truncates_gated_segments():
+    """max_tape_cols(S, W, p) must cover every identity-gated segment: the
+    number of alignment columns of any applied segment is bounded by
+    (2S + W/2)/(1 + p) (see the derivation in ops/align.max_tape_cols)."""
+    from mecat_tpu.ops.align import max_tape_cols
+    from mecat_tpu import constants as Cn
+
+    for (s, w) in [(64, 32), (128, 64), (512, 128)]:
+        tc = max_tape_cols(s, w, Cn.MIN_SEGMENT_IDENTITY)
+        assert tc >= (2 * s + w // 2) / (1 + Cn.MIN_SEGMENT_IDENTITY)
+        assert tc <= 2 * s + w
+        assert tc % 64 == 0 or tc == 2 * s + w
