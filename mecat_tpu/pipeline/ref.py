@@ -78,10 +78,7 @@ from functools import partial as _partial
 import jax as _jax
 
 
-@_partial(_jax.jit, static_argnames=("L_win", "L_q", "S", "W", "max_segs"))
-def _ref_extend_chunk(fwd, rev, ref_codes, rowi, strand, g0, wlen, qlen,
-                      qs, ts, *, L_win, L_q, S, W, max_segs):
-    """Device chunk: gather query rows + genome windows, extend, compact ops."""
+def _ref_gather_qt(fwd, rev, ref_codes, rowi, strand, g0, wlen, L_win):
     q = jnp.where(strand[:, None] == 0, fwd[rowi], rev[rowi])
     ref_pad = jnp.concatenate(
         [ref_codes, jnp.zeros(L_win, dtype=ref_codes.dtype)])
@@ -89,11 +86,37 @@ def _ref_extend_chunk(fwd, rev, ref_codes, rowi, strand, g0, wlen, qlen,
         lambda o: _jax.lax.dynamic_slice(ref_pad, (o,), (L_win,)))(g0)
     col = jnp.arange(L_win, dtype=jnp.int32)[None, :]
     t = jnp.where(col < wlen[:, None], win, 0)
+    return q, t
+
+
+@_partial(_jax.jit, static_argnames=("L_win", "S", "W", "max_segs"))
+def _ref_count_chunk(fwd, rev, ref_codes, rowi, strand, g0, wlen, qlen,
+                     qs, ts, *, L_win, S, W, max_segs):
+    """Phase-A device chunk: score every candidate locus, NO op tapes.
+
+    The counts-only extension early-exits its segment loop and writes no
+    move stream; collecting + pulling op streams for every candidate was
+    ~10x the device time and ~2 MB/chunk over this system's ~8 MB/s tunnel,
+    for tapes of which only the best-per-read survives.
+    """
+    from ..ops.align import extend_pair_batch
+
+    q, t = _ref_gather_qt(fwd, rev, ref_codes, rowi, strand, g0, wlen, L_win)
+    return extend_pair_batch(q, t, qlen, wlen, qs, ts, S=S, W=W,
+                             max_segs=max_segs)
+
+
+@_partial(_jax.jit, static_argnames=("L_win", "L_q", "S", "W", "max_segs"))
+def _ref_extend_chunk(fwd, rev, ref_codes, rowi, strand, g0, wlen, qlen,
+                      qs, ts, *, L_win, L_q, S, W, max_segs):
+    """Phase-B device chunk (winners only): extend with ops, compact CIGAR
+    stream."""
+    q, t = _ref_gather_qt(fwd, rev, ref_codes, rowi, strand, g0, wlen, L_win)
     pa, right_t, left_t = extend_pair_batch_with_ops(
         q, t, qlen, wlen, qs, ts, S=S, W=W, max_segs=max_segs)
     CW = -(-(L_q + L_win + 2) // 128) * 128
     ops8 = ops_stream(right_t, left_t, qs, ts, CW=CW)
-    return pa, right_t, left_t, ops8
+    return pa, ops8
 
 
 def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
@@ -137,11 +160,13 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
                               int(tseed[row, j]) - win0, int(score[row, j]),
                               wlen))
 
-    # extend in fixed-size batches, keep the best alignment per read.
-    # query rows and genome windows are gathered ON DEVICE (row indices /
-    # window offsets are the only per-chunk upload — host-side window
-    # copies + [P, L] uploads dominated wall time over the slow tunnel).
-    best = {}   # row -> (matches, payload)
+    # Phase A: score every candidate locus with the counts-only extension
+    # (no op tapes), keep best + runner-up matches per read.  Phase B
+    # re-extends ONLY the winners with op collection — and only when the
+    # output actually needs CIGARs (SAM); M4 needs none.  Query rows and
+    # genome windows are gathered ON DEVICE (row indices / window offsets
+    # are the only per-chunk upload).
+    best = {}   # row -> (matches, pair index)
     second = {} # row -> matches of runner-up
     P = opts.extend_batch
     S, W = opts.align_segment, opts.align_band
@@ -153,60 +178,92 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
         dtype=np.int64).reshape(len(pairs), 8)
     g_start = (ref_db.starts[chunk_arr[:, 2]] + chunk_arr[:, 3]).astype(
         np.int32)
-    for ofs in range(0, len(pairs), P):
-        chunk = pairs[ofs:ofs + P]
-        ca = chunk_arr[ofs:ofs + P]
-        n = len(chunk)
+
+    def chunk_args(ca, g0):
         rowi = ca[:, 0].astype(np.int32)
-        strand_c = ca[:, 1].astype(np.int32)
         wlen = ca[:, 7].astype(np.int32)
         qlen_b = lens[rowi].astype(np.int32)
         qs_b = np.clip(ca[:, 4], 0, np.maximum(qlen_b - 1, 0)).astype(
             np.int32)
         ts_b = np.clip(ca[:, 5], 0, np.maximum(wlen - 1, 0)).astype(np.int32)
-        rowi_p, strand_p, g0_p, wlen_p, qlen_p, qs_p, ts_p = pad_to_batch(
-            [rowi, strand_c, g_start[ofs:ofs + P], wlen, qlen_b, qs_b,
-             ts_b], P)
-        pa, right_t, left_t, ops_dev = _ref_extend_chunk(
-            bases_dev[0], bases_dev[1], dev["ref_codes"],
-            jnp.asarray(rowi_p), jnp.asarray(strand_p), jnp.asarray(g0_p),
-            jnp.asarray(wlen_p), jnp.asarray(qlen_p), jnp.asarray(qs_p),
-            jnp.asarray(ts_p), L_win=L_win, L_q=L_q, S=S, W=W,
-            max_segs=msegs)
-        ops_np = np.asarray(ops_dev)
+        padded = pad_to_batch(
+            [rowi, ca[:, 1].astype(np.int32), g0.astype(np.int32), wlen,
+             qlen_b, qs_b, ts_b], P)
+        return [jnp.asarray(a) for a in padded]
+
+    pa_host = []  # per chunk: (n, matches, ident, qbeg, qend, tbeg, tend)
+    for ofs in range(0, len(pairs), P):
+        ca = chunk_arr[ofs:ofs + P]
+        args = chunk_args(ca, g_start[ofs:ofs + P])
+        pa = _ref_count_chunk(
+            bases_dev[0], bases_dev[1], dev["ref_codes"], *args,
+            L_win=L_win, S=S, W=W, max_segs=msegs)
+        pa_host.append((len(ca), pa))
+
+    for ci, (n, pa) in enumerate(pa_host):
         ident = np.asarray(pa.identity)[:n]
         matches = np.asarray(pa.matches)[:n]
-        qbeg = np.asarray(pa.qbeg)[:n]
-        qend = np.asarray(pa.qend)[:n]
-        tbeg = np.asarray(pa.tbeg)[:n]
-        tend = np.asarray(pa.tend)[:n]
-        for i, (row, strand, contig, win0, qs, ts, score, wlen) in enumerate(chunk):
-            span = min(int(qend[i] - qbeg[i]), int(tend[i] - tbeg[i]))
-            if span < opts.min_align_size or ident[i] < opts.min_identity:
+        span = np.minimum(np.asarray(pa.qend - pa.qbeg),
+                          np.asarray(pa.tend - pa.tbeg))[:n]
+        for i in range(n):
+            pi = ci * P + i
+            row = int(chunk_arr[pi, 0])
+            if span[i] < opts.min_align_size or ident[i] < opts.min_identity:
                 continue
             m = int(matches[i])
-            row_ops = ops_np[i]
-            row_ops = row_ops[:int((row_ops >= 0).sum())]  # compact prefix
-            payload = (strand, contig, win0, int(qbeg[i]), int(qend[i]),
-                       int(tbeg[i]), int(tend[i]), float(ident[i]),
-                       int(score), row_ops)
             if row not in best or m > best[row][0]:
                 if row in best:
                     second[row] = best[row][0]
-                best[row] = (m, payload)
+                best[row] = (m, pi)
             elif m > second.get(row, 0):
                 second[row] = m
+
+    # Phase B: winners only
+    payloads = {}  # row -> payload tuple
+    win_idx = np.asarray([best[r][1] for r in sorted(best)], dtype=np.int64)
+    need_ops = opts.output_format == "sam"
+    for ofs in range(0, len(win_idx), P):
+        sel = win_idx[ofs:ofs + P]
+        ca = chunk_arr[sel]
+        args = chunk_args(ca, g_start[sel])
+        if need_ops:
+            pa, ops_dev = _ref_extend_chunk(
+                bases_dev[0], bases_dev[1], dev["ref_codes"], *args,
+                L_win=L_win, L_q=L_q, S=S, W=W, max_segs=msegs)
+            ops_np = np.asarray(ops_dev)
+        else:
+            pa = _ref_count_chunk(
+                bases_dev[0], bases_dev[1], dev["ref_codes"], *args,
+                L_win=L_win, S=S, W=W, max_segs=msegs)
+            ops_np = None
+        ident = np.asarray(pa.identity)
+        qbeg = np.asarray(pa.qbeg)
+        qend = np.asarray(pa.qend)
+        tbeg = np.asarray(pa.tbeg)
+        tend = np.asarray(pa.tend)
+        for i, pi in enumerate(sel):
+            row, strand, contig, win0, qs, ts, score, wlen = chunk_arr[pi]
+            if ops_np is not None:
+                row_ops = ops_np[i]
+                row_ops = row_ops[:int((row_ops >= 0).sum())]
+            else:
+                row_ops = np.zeros(0, np.int8)
+            payloads[int(row)] = (
+                int(strand), int(contig), int(win0), int(qbeg[i]),
+                int(qend[i]), int(tbeg[i]), int(tend[i]), float(ident[i]),
+                int(score), row_ops)
 
     # emit one record per read
     for row, rid in enumerate(read_ids):
         stats.reads += 1
         qsize = int(db.lengths[rid])
         name = db.name(rid)
-        if row not in best:
+        if row not in payloads:
             if opts.output_format == "sam":
                 out_lines.append(sam_unmapped(name, db.read(rid)))
             continue
-        m, (strand, contig, win0, qb, qe, tb, te, ident, score, ops) = best[row]
+        m = best[row][0]
+        strand, contig, win0, qb, qe, tb, te, ident, score, ops = payloads[row]
         stats.mapped += 1
         uniq = m - second.get(row, 0)
         mapq = max(0, min(60, int(60.0 * uniq / max(m, 1)) + 20)) if m else 0
