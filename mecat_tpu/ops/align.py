@@ -34,7 +34,11 @@ import jax.numpy as jnp
 
 from .. import constants as C
 
-INF = jnp.int32(1 << 20)
+# plain ints, NOT jnp scalars: a module-level device constant initialises
+# the XLA backend at import time, which breaks jax.distributed.initialize
+# (it must run before any backend touch).  Weak typing keeps the arithmetic
+# int32 wherever these meet int32 arrays.
+INF = 1 << 20
 Q_SENTINEL = 255
 T_SENTINEL = 254
 
@@ -45,7 +49,7 @@ T_SENTINEL = 254
 #: IND_K must exceed any possible per-segment indel count (<= 2S+W).
 IND_K = 4096
 #: masked-cell value: large, but IND_K * INF-safe in int32 arithmetic.
-VINF = jnp.int32(1 << 30)
+VINF = 1 << 30
 
 # move codes
 MOVE_MATCH = 0     # diagonal, q char == t char

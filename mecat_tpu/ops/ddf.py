@@ -35,7 +35,9 @@ from ..index.kmer_index import kmer_codes_jnp, probe_index
 #: diagonals are shifted by this before binning so they are non-negative
 #: (supports reads/genome chunks up to 2^20 bases on either side).
 _DIAG_SHIFT = 1 << 20
-_INVALID_RID = jnp.int32(2 ** 31 - 1)
+# plain int (not a jnp scalar): keeps package import from initialising the
+# XLA backend, which must not happen before jax.distributed.initialize.
+_INVALID_RID = 2 ** 31 - 1
 
 
 class Candidates(NamedTuple):

@@ -41,10 +41,13 @@ def init_distributed() -> Tuple[int, int]:
     import jax
 
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize(
-            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]))
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is None:  # not yet initialised
+            jax.distributed.initialize(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]))
     return jax.process_index(), jax.process_count()
 
 
@@ -60,36 +63,60 @@ def _cached_step(mesh, **params):
     return _step_cache[key]
 
 
+def _iter_addressable_blocks(arrs):
+    """Yield (row0, [np blocks]) for THIS process's addressable row slices.
+
+    Multi-controller contract: a process must only read the output shards
+    resident on its own devices — np.asarray on the global array would
+    require non-addressable data.  Shards replicated across the 'hash' axis
+    repeat row slices; deduped by row start.  Plain numpy inputs (host
+    fallback paths) yield one full block.
+    """
+    ref = arrs[0]
+    if not hasattr(ref, "addressable_shards"):
+        yield 0, [np.asarray(a) for a in arrs]
+        return
+    seen = set()
+    for i, sh in enumerate(ref.addressable_shards):
+        r0 = sh.index[0].start or 0
+        if r0 in seen:
+            continue
+        seen.add(r0)
+        yield r0, [np.asarray(a.addressable_shards[i].data) for a in arrs]
+
+
 def _emit_from_step(out, strand: int, qids: np.ndarray, vol_base: int,
                     qlens: np.ndarray, tlens: np.ndarray, n_valid_rows: int,
                     best: dict) -> None:
-    """Fold one sharded-step output (one strand) into the best-overlap dict."""
-    valid = np.asarray(out.valid)[:n_valid_rows]
-    tgt = np.asarray(out.target)[:n_valid_rows]
-    score = np.asarray(out.score)[:n_valid_rows]
-    qbeg = np.asarray(out.qbeg)[:n_valid_rows]
-    qend = np.asarray(out.qend)[:n_valid_rows]
-    tbeg = np.asarray(out.tbeg)[:n_valid_rows]
-    tend = np.asarray(out.tend)[:n_valid_rows]
-    ident = np.asarray(out.identity)[:n_valid_rows]
-    rows, cols = np.nonzero(valid)
-    for r, c in zip(rows, cols):
-        qid = int(qids[r])
-        sid = vol_base + int(tgt[r, c])
-        qsize = int(qlens[r])
-        span = int(qend[r, c] - qbeg[r, c]) + int(tend[r, c] - tbeg[r, c])
-        key = (qid, sid, strand)
-        if key in best and best[key][0] >= span:
-            continue
-        if strand == 0:
-            qs, qe = int(qbeg[r, c]), int(qend[r, c])
-        else:
-            qs, qe = qsize - int(qend[r, c]), qsize - int(qbeg[r, c])
-        best[key] = (span, M4Record(
-            qid=qid + 1, sid=sid + 1, identity=float(ident[r, c]),
-            score=int(score[r, c]), qstrand=0, qstart=qs, qend=qe,
-            qsize=qsize, sstrand=strand, sstart=int(tbeg[r, c]),
-            send=int(tend[r, c]), ssize=int(tlens[int(tgt[r, c])])))
+    """Fold one sharded-step output (one strand) into the best-overlap dict.
+
+    Consumes only this process's addressable output shards, so each process
+    emits exactly the query rows it owns (per-host shard files)."""
+    fields = [out.valid, out.target, out.score, out.qbeg, out.qend,
+              out.tbeg, out.tend, out.identity]
+    for r0, (valid, tgt, score, qbeg, qend, tbeg, tend,
+             ident) in _iter_addressable_blocks(fields):
+        rows, cols = np.nonzero(valid)
+        for r, c in zip(rows, cols):
+            gr = r0 + r
+            if gr >= n_valid_rows:
+                continue
+            qid = int(qids[gr])
+            sid = vol_base + int(tgt[r, c])
+            qsize = int(qlens[gr])
+            span = int(qend[r, c] - qbeg[r, c]) + int(tend[r, c] - tbeg[r, c])
+            key = (qid, sid, strand)
+            if key in best and best[key][0] >= span:
+                continue
+            if strand == 0:
+                qs, qe = int(qbeg[r, c]), int(qend[r, c])
+            else:
+                qs, qe = qsize - int(qend[r, c]), qsize - int(qbeg[r, c])
+            best[key] = (span, M4Record(
+                qid=qid + 1, sid=sid + 1, identity=float(ident[r, c]),
+                score=int(score[r, c]), qstrand=0, qstart=qs, qend=qe,
+                qsize=qsize, sstrand=strand, sstart=int(tbeg[r, c]),
+                send=int(tend[r, c]), ssize=int(tlens[int(tgt[r, c])])))
 
 
 def run_pw_dist(reads_path: str, out_path: str, wrk_dir: str,
@@ -104,10 +131,12 @@ def run_pw_dist(reads_path: str, out_path: str, wrk_dir: str,
     driver's output is a superset of run_pw's (tests/test_dist.py), within
     the M4 contract's "modulo tie-breaking" allowance.
 
-    Multi-controller note: under jax.distributed each process must only
-    consume its addressable output shards; the current host-side emit pulls
-    the global arrays (single-controller / single-host scope, the testable
-    configuration here).
+    Multi-controller: every process runs this same function; inputs are
+    device_put with identical host data on all processes, each process
+    consumes only its addressable output shards (_emit_from_step), writes
+    its own shard file, and rank 0 concatenates after a barrier.  Exercised
+    for real by tests/test_dist.py::test_dist_pw_two_processes (2 processes
+    x 4 virtual CPU devices over a localhost coordinator).
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P

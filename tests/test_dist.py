@@ -71,3 +71,41 @@ def test_dist_pw_shard_files(sim):
     d, reads, db = sim
     wrk = str(d / "wrk_d")  # reuse the run above
     assert os.path.exists(os.path.join(wrk, "pw_shard_p0.m4"))
+
+
+def test_dist_pw_two_processes(sim):
+    """REAL multi-controller run: 2 processes x 4 virtual CPU devices over a
+    localhost coordinator; per-process addressable-shard emit; rank-0 merge.
+    Overlap pair set must match the in-process 8-device run."""
+    import socket
+    import subprocess
+    import sys
+
+    d, reads, db = sim
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    env.pop("PYTHONPATH", None)
+    workers = [
+        subprocess.Popen(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__), "dist_worker.py"),
+             str(port), "2", str(pid), str(d)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        for pid in (2 - 1, 0)[::-1]]
+    outs = [w.communicate(timeout=600) for w in workers]
+    for w, (so, se) in zip(workers, outs):
+        assert w.returncode == 0, se.decode()[-2000:]
+
+    mp = _pairs(str(d / "dist_mp.m4"))
+    single_out = str(d / "single8.m4")
+    stats8 = run_pw_dist(reads, single_out, str(d / "wrk_d8"),
+                         PwOptions(**OPTS), n_data=4, n_hash=2, db=db)
+    s8 = _pairs(single_out)
+    assert len(mp) > 0
+    assert mp == s8
