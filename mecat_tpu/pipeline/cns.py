@@ -218,15 +218,18 @@ def correct_batch(db: PackedDB, templates: List[int],
 def correct_batch_device(db: PackedDB, templates: List[int],
                          by_template: Dict[int, List[Support]],
                          opts: CnsOptions, stats: CnsStats,
-                         dev_vol=None) -> List[Tuple[str, np.ndarray]]:
-    """Device-resident variant of :func:`correct_batch`.
+                         dev_vol=None):
+    """Device-resident variant of :func:`correct_batch` (a GENERATOR).
 
     Same alignments, but tags are tallied and voted ON DEVICE
     (ops/consensus_device.py) — the host path's per-batch op-tape pull
     (~80 MB over this system's ~8 MB/s device tunnel) was 30x the device
     alignment time.  The volume uploads once (``dev_vol`` caches it across
     partitions); per chunk only pair ids/seeds go up and nothing comes back
-    until the final int8 emit/coverage arrays.
+    until the final int8 emit/coverage arrays.  Corrected reads are YIELDED
+    per table slice so callers stream them to disk — an interrupted run
+    keeps everything finished so far (the list form lost an hour-long run
+    to a timeout 64 templates before the end).
     """
     from .. import constants as C
     from ..ops.consensus_device import (accumulate_tags, call_tables,
@@ -243,7 +246,6 @@ def correct_batch_device(db: PackedDB, templates: List[int],
     L_t_all = bucket_length(max(int(db.lengths[t]) for t in templates))
     if len(templates) * L_t_all * 16 * 5 * 4 > cap:
         by_len = sorted(templates, key=lambda t: int(db.lengths[t]))
-        out: List[Tuple[str, np.ndarray]] = []
         a = 0
         while a < len(by_len):
             b = a + 1
@@ -252,12 +254,12 @@ def correct_batch_device(db: PackedDB, templates: List[int],
                 if (b + 1 - a) * L_t_b * 16 * 5 * 4 > cap:
                     break
                 b += 1
-            out += correct_batch_device(db, by_len[a:b], by_template, opts,
-                                        stats, dev_vol)
+            yield from correct_batch_device(db, by_len[a:b], by_template,
+                                            opts, stats, dev_vol)
             log.info("cns: table slice %d-%d/%d done (%d corrected)",
                      a, b, len(by_len), stats.corrected_reads)
             a = b
-        return out
+        return
 
     pairs = []  # (template, support, dir, spos, tpos)
     for t in templates:
@@ -266,15 +268,16 @@ def correct_batch_device(db: PackedDB, templates: List[int],
         for s, sdir, spos, tpos, score in sups:
             pairs.append((t, s, sdir, spos, tpos))
     if not pairs:
-        return []
+        return
 
     T = len(templates)
     slot_of = {t: i for i, t in enumerate(templates)}
     L_t = bucket_length(max(int(db.lengths[t]) for t in templates))
     # supports are seed-windowed inside the chunk: their shape is bounded by
-    # the template, not by the longest support read in the volume
-    L_s = bucket_length(min(max(int(db.lengths[p[1]]) for p in pairs),
-                            3 * L_t))
+    # the template, not by the longest support read.  Bound by the DB-WIDE
+    # max read length (not the slice's) so L_s is a pure function of L_t —
+    # every distinct jit shape costs a 30-100 s remote compile here.
+    L_s = bucket_length(min(int(db.lengths.max()), 3 * L_t))
     S, W = opts.align_segment, opts.align_band
     # per-DIRECTION consumption is bounded by ~1.4x the template (the
     # support window is 3x L_t only to cover asymmetric seeds); sizing the
@@ -323,8 +326,11 @@ def correct_batch_device(db: PackedDB, templates: List[int],
     segs_r, segs_l = segs_r[order], segs_l[order]
     all_slot = np.asarray([slot_of[t] for t in pairs_a[:, 0]], np.int32)
 
+    # coarse ladder: every (msegs_r, msegs_l) combo is a separate remote
+    # compile (~30-100 s cold); powers of two bound the combo count while
+    # keeping the scan within 2x of the exact budget
     def seg_bucket(n: int) -> int:
-        for b in (4, 6, 8, 12, 16, 24, 32, 48, 64, 96):
+        for b in (8, 16, 32, 64, 96):
             if n <= b:
                 return min(b, msegs)
         return msegs
@@ -365,7 +371,6 @@ def correct_batch_device(db: PackedDB, templates: List[int],
     cov_ok = np.asarray(cov_ok)
     has_support = np.asarray(has)
 
-    out: List[Tuple[str, np.ndarray]] = []
     for i, t in enumerate(templates):
         stats.templates += 1
         if not has_support[i]:
@@ -373,10 +378,9 @@ def correct_batch_device(db: PackedDB, templates: List[int],
         segs = split_called(emit[i], cov_ok[i], int(db.lengths[t]),
                             opts.min_length)
         for k, seg in enumerate(segs):
-            out.append((f"{db.name(t)}_{k}", seg))
             stats.corrected_reads += 1
             stats.corrected_bases += len(seg)
-    return out
+            yield (f"{db.name(t)}_{k}", seg)
 
 
 def device_volume(db: PackedDB):

@@ -36,7 +36,7 @@ def test_device_matches_host(pile):
     opts = CnsOptions(min_align_size=300, min_length=500, extend_batch=32,
                       align_segment=128, align_band=64)
     host = correct_batch(db, templates, by_t, opts, CnsStats())
-    dev = correct_batch_device(db, templates, by_t, opts, CnsStats())
+    dev = list(correct_batch_device(db, templates, by_t, opts, CnsStats()))
     assert len(host) > 0
     host_d = {n: s for n, s in host}
     dev_d = {n: s for n, s in dev}
@@ -52,7 +52,7 @@ def test_device_stats_match(pile):
                       align_segment=128, align_band=64)
     sh, sd = CnsStats(), CnsStats()
     correct_batch(db, templates, by_t, opts, sh)
-    correct_batch_device(db, templates, by_t, opts, sd)
+    list(correct_batch_device(db, templates, by_t, opts, sd))
     assert sh.supports_aligned == sd.supports_aligned
     assert sh.corrected_reads == sd.corrected_reads
     assert sh.corrected_bases == sd.corrected_bases
@@ -64,9 +64,9 @@ def test_device_table_cap_subbatching(pile, monkeypatch):
     templates = sorted(by_t)
     opts = CnsOptions(min_align_size=300, min_length=500, extend_batch=32,
                       align_segment=128, align_band=64)
-    full = correct_batch_device(db, templates, by_t, opts, CnsStats())
+    full = list(correct_batch_device(db, templates, by_t, opts, CnsStats()))
     monkeypatch.setenv("MECAT_TPU_CNS_TABLE_BYTES", str(1 << 22))  # ~4 MB
-    sub = correct_batch_device(db, templates, by_t, opts, CnsStats())
+    sub = list(correct_batch_device(db, templates, by_t, opts, CnsStats()))
     assert {n: s.tobytes() for n, s in full} == \
         {n: s.tobytes() for n, s in sub}
 
@@ -104,7 +104,7 @@ def test_device_support_windows_mixed_lengths(tmp_path):
                       align_segment=128, align_band=64,
                       min_mapping_ratio=0.05)
     host = correct_batch(db, templates, by_t, opts, CnsStats())
-    dev = correct_batch_device(db, templates, by_t, opts, CnsStats())
+    dev = list(correct_batch_device(db, templates, by_t, opts, CnsStats()))
     host_d = {n: s.tobytes() for n, s in host}
     dev_d = {n: s.tobytes() for n, s in dev}
     assert len(host_d) > 0
