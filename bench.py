@@ -116,7 +116,7 @@ def main():
     platform = jax.devices()[0].platform
     log(f"bench: primary device {jax.devices()[0]} ({platform})")
 
-    n_batches = int(os.environ.get("BENCH_BATCHES", 8))
+    n_batches = int(os.environ.get("BENCH_BATCHES", 32))
     t0 = time.time()
     overlaps, dt = run_on(jax.devices()[0], db, idx, n_batches)
     rate = overlaps / dt if dt > 0 else 0.0

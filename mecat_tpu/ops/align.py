@@ -329,7 +329,7 @@ def dp_segment_best(q_seg: jnp.ndarray, t_seg: jnp.ndarray,
         half = W // 2
         tpad = jnp.full((B, S + W), T_SENTINEL, dtype=q_seg.dtype)
         tpad = tpad.at[:, half:half + t_seg.shape[1]].set(t_seg)
-        block_b = 256 if B % 256 == 0 else 128
+        block_b = 128   # fastest measured tile; larger blocks LOSE (v5e)
         return dp_segment_best_pallas(q_seg, tpad, tmax, seg_q,
                                       S=S, W=W, block_b=block_b,
                                       with_moves=want_moves)
@@ -485,14 +485,32 @@ def _pair_batch_impl(q, t, qlen, tlen, qseed, tseed, *, S, W, max_segs,
     q_rev = pad(jnp.flip(qm, axis=1), S, Q_SENTINEL)
     t_rev = pad(jnp.flip(tm, axis=1), S + W, T_SENTINEL)
 
-    right, right_raw = _extend_direction_impl(
-        q_fwd, t_fwd, qseed, tseed, qlen - qseed, tlen - tseed,
-        S=S, W=W, max_segs=max_segs, min_seg_identity=min_seg_identity,
-        collect_ops=collect_ops)
-    left, left_raw = _extend_direction_impl(
-        q_rev, t_rev, Lq - qseed, Lt - tseed, qseed, tseed,
-        S=S, W=W, max_segs=max_segs_left, min_seg_identity=min_seg_identity,
-        collect_ops=collect_ops)
+    if not collect_ops:
+        # counts path: BOTH directions as one 2B-lane batch — the early-exit
+        # while_loop then runs max(left, right) segment steps instead of
+        # left + right, and the DP grid amortises better.  (The ops path
+        # keeps directions separate for per-direction segment budgets.)
+        both, _ = _extend_direction_impl(
+            jnp.concatenate([q_fwd, q_rev], axis=0),
+            jnp.concatenate([t_fwd, t_rev], axis=0),
+            jnp.concatenate([qseed, Lq - qseed]),
+            jnp.concatenate([tseed, Lt - tseed]),
+            jnp.concatenate([qlen - qseed, qseed]),
+            jnp.concatenate([tlen - tseed, tseed]),
+            S=S, W=W, max_segs=max(max_segs, max_segs_left),
+            min_seg_identity=min_seg_identity, collect_ops=False)
+        right = ExtensionResult(*(x[:B] for x in both))
+        left = ExtensionResult(*(x[B:] for x in both))
+        right_raw = left_raw = None
+    else:
+        right, right_raw = _extend_direction_impl(
+            q_fwd, t_fwd, qseed, tseed, qlen - qseed, tlen - tseed,
+            S=S, W=W, max_segs=max_segs, min_seg_identity=min_seg_identity,
+            collect_ops=collect_ops)
+        left, left_raw = _extend_direction_impl(
+            q_rev, t_rev, Lq - qseed, Lt - tseed, qseed, tseed,
+            S=S, W=W, max_segs=max_segs_left,
+            min_seg_identity=min_seg_identity, collect_ops=collect_ops)
 
     right_ys = left_ys = None
     if collect_ops:

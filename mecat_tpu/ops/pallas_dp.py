@@ -201,10 +201,16 @@ def dp_segment_best_pallas(q_seg: jnp.ndarray, tpad: jnp.ndarray,
 
 
 def pallas_available(S: int, W: int, B: int) -> bool:
-    """Shape/backend gate for the Pallas path (lane-aligned, TPU backend)."""
+    """Shape/backend gate for the Pallas path (lane-aligned, TPU backend).
+
+    The band lives on the SUBLANE axis, so W needs only 8·16 alignment for
+    the rolls and the 16-codes-per-word move packing; W=64 (half the DP
+    work per row, drift tolerance ±32/segment — ~5 sigma at 15% indel
+    noise over a re-centred 512 bp segment) is a supported quality/perf
+    knob.  Batch stays lane-aligned (128)."""
     if os.environ.get("MECAT_NO_PALLAS") == "1":
         return False
-    if W % 128 or S % 128 or (S + W) % 128 or B % 128:
+    if W % 32 or W < 32 or S % 128 or (S + W) % 8 or B % 128:
         return False
     try:
         return jax.default_backend() == "tpu"

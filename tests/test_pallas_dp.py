@@ -9,11 +9,13 @@ from mecat_tpu.ops.align import (Q_SENTINEL, T_SENTINEL, banded_dp_segment,
 from mecat_tpu.ops.pallas_dp import dp_segment_best_pallas
 from mecat_tpu.utils.sim import mutate
 
-S, W = 128, 128  # pallas-eligible shapes (lane-aligned)
+S = 128  # pallas-eligible shapes (lane-aligned)
+W = 128
 
 
 @pytest.mark.slow
-def test_pallas_matches_xla_interpret():
+@pytest.mark.parametrize("W", [64, 128])
+def test_pallas_matches_xla_interpret(W):
     rng = np.random.default_rng(121)
     B = 128
     q = np.full((B, S), Q_SENTINEL, np.uint8)
