@@ -216,7 +216,8 @@ def _bucket_k(n: int, minimum: int = 256) -> int:
 
 def dispatch_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
                                query_ids: List[int], opts: PwOptions,
-                               vol_db: PackedDB, L_query: int, L_target: int):
+                               vol_db: PackedDB, L_query: int, L_target: int,
+                               batch_rows: int = 0):
     """Dispatch the probe phase of the fused step for both strands (async).
 
     Two-phase extension: probe_step runs the DDF scan plus a 1-segment
@@ -230,7 +231,7 @@ def dispatch_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
 
     from .device_step import probe_step
 
-    B = opts.scan_batch
+    B = batch_rows or opts.scan_batch
     fwd, rev, lens = oriented_batch(db, query_ids, L_query)
     fwd_p, rev_p, lens_p = pad_to_batch([fwd, rev, lens], B)
     lens_p = lens_p.copy()
@@ -445,16 +446,34 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                         order = (np.argsort(db.lengths[qa:qb],
                                             kind="stable") + qa)
                         vol_max = int(vol_db.lengths.max())
+                        # the probe flattens B*num_candidates rows of
+                        # (L_q + L_t) bytes: cap the QUERY batch so long-read
+                        # tail batches cannot compile a multi-GB program
+                        # (HLO temp OOM at ~5 GB with 32 kb reads, -n 100).
+                        import math as _math
+                        cap = int(os.environ.get("MECAT_TPU_PW_FLAT_BYTES",
+                                                 1 << 30))
+                        mult = 128 // _math.gcd(opts.num_candidates, 128)
                         pending = None
-                        for bs in range(0, len(order), opts.scan_batch):
-                            qids = [int(q) for q in
-                                    order[bs:bs + opts.scan_batch]]
+                        bs = 0
+                        while bs < len(order):
+                            tentative = order[bs:bs + opts.scan_batch]
+                            L_q_b = bucket_length(
+                                int(db.lengths[tentative].max()))
+                            L_t_b = bucket_length(min(vol_max, 3 * L_q_b))
+                            per_read = (opts.num_candidates
+                                        * 2 * (L_q_b + L_t_b))
+                            b_eff = max(mult, min(
+                                opts.scan_batch,
+                                cap // per_read // mult * mult))
+                            qids = [int(q) for q in order[bs:bs + b_eff]]
+                            bs += b_eff
                             L_q_b = bucket_length(
                                 int(db.lengths[qids].max()))
                             L_t_b = bucket_length(min(vol_max, 3 * L_q_b))
                             nxt = dispatch_query_batch_fused(
                                 db, va, dev, idx.max_occ_cutoff, qids, opts,
-                                vol_db, L_q_b, L_t_b)
+                                vol_db, L_q_b, L_t_b, batch_rows=b_eff)
                             if pending is not None:
                                 fh.write(collect_query_batch_fused(
                                     pending, va, vol_db, opts, stats))
