@@ -63,11 +63,12 @@ def build_workload():
 
 
 def run_on(device, db, idx, n_batches):
+    from mecat_tpu.io.packed_db import upload_codes
     from mecat_tpu.pipeline.device_step import overlap_step
 
     with jax.default_device(device):
         dev = dict(
-            vol_codes=jnp.asarray(db.codes),
+            vol_codes=upload_codes(db.codes),
             offsets=jnp.asarray(idx.offsets),
             pos_rid=jnp.asarray(idx.pos_rid),
             pos_loc=jnp.asarray(idx.pos_loc),

@@ -197,13 +197,12 @@ def _build_index_device(codes, starts, lengths, k,
     n = len(codes)
     p = 1 << max(14, (n - 1).bit_length())
     n_pad = p if n > 3 * p // 4 else 3 * p // 4
-    codes_p = codes
-    if n_pad != n:
-        codes_p = np.zeros(n_pad, dtype=np.uint8)
-        codes_p[:n] = codes  # tail belongs to no read => invalid k-mers
+    from ..io.packed_db import upload_codes
+
+    # 2-bit packed over the tunnel (tail zeros belong to no read => invalid)
+    codes_dev = upload_codes(np.asarray(codes, dtype=np.uint8), n_pad)
     offsets, rid_s, loc_s, n_valid, n_distinct = _build_index_device_jit(
-        jnp.asarray(codes_p, dtype=jnp.uint8), jnp.asarray(starts32),
-        jnp.asarray(lengths32), k)
+        codes_dev, jnp.asarray(starts32), jnp.asarray(lengths32), k)
     n_valid = int(n_valid)
     pos_rid = rid_s[:n_valid]
     pos_loc = loc_s[:n_valid]

@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Iterable, List, Sequence, Tuple
 
 import numpy as np
@@ -63,6 +64,37 @@ def unpack_2bit(packed: np.ndarray, n_bases: int) -> np.ndarray:
     out[:, 2] = (packed >> 4) & 3
     out[:, 3] = (packed >> 6) & 3
     return out.reshape(-1)[:n_bases]
+
+
+def upload_codes(codes: np.ndarray, n_pad: int = 0):
+    """Host→device transfer of base codes, 2-bit packed over the wire.
+
+    On this system the host→device tunnel moves ~0.7-8 MB/s; shipping the
+    flat uint8 code array dominated pipeline stage times (88 MB of codes
+    measured 135 s).  Packing 4 bases/byte on the host (native C++ when
+    available) cuts the bytes 4x; the device unpacks with three shifts.
+    Returns a device uint8 [max(len, n_pad)] array equal to ``codes``
+    zero-padded to n_pad.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = len(codes)
+    n_out = max(n, n_pad)
+    m = -(-n_out // 4) * 4
+    buf = codes
+    if m != n:
+        buf = np.zeros(m, dtype=np.uint8)
+        buf[:n] = codes
+    packed_dev = jnp.asarray(pack_2bit(buf))
+
+    @partial(jax.jit, static_argnames=("n_out",))
+    def unpack(p, n_out: int):
+        quads = jnp.stack([p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3],
+                          axis=1)
+        return quads.reshape(-1)[:n_out]
+
+    return unpack(packed_dev, n_out=n_out)
 
 
 @dataclass

@@ -395,7 +395,9 @@ def device_volume(db: PackedDB):
     """
     import jax.numpy as jnp
 
-    vol = jnp.asarray(db.codes)
+    from ..io.packed_db import upload_codes
+
+    vol = upload_codes(db.codes)
     n_bases = int(vol.shape[0])
     slack = int(3 * int(db.lengths.max()) + 1024) if db.n_reads else 1024
     vol_cat = jnp.concatenate([

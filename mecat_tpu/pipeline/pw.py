@@ -25,7 +25,7 @@ import numpy as np
 from .. import constants as C
 from ..index.kmer_index import build_index
 from ..io.m4 import CandidateRecord, M4Record, format_block
-from ..io.packed_db import PackedDB
+from ..io.packed_db import PackedDB, upload_codes
 from ..ops.align import extend_pair_batch
 from ..ops.ddf import scan_candidates
 from ..utils.log import get_logger
@@ -428,7 +428,7 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                                   vol_db.lengths, k=opts.kmer_size)
                 dev = idx.as_device_arrays()
                 if _use_fused(opts):
-                    dev["vol_codes"] = jnp.asarray(vol_db.codes)
+                    dev["vol_codes"] = upload_codes(vol_db.codes)
             L_target = bucket_length(int(vol_db.lengths.max()))
             for vj in pending:
                 qa, qb = vols[vj]

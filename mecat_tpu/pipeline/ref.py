@@ -25,7 +25,7 @@ import numpy as np
 from .. import constants as C
 from ..index.kmer_index import build_index
 from ..io.m4 import M4Record
-from ..io.packed_db import PackedDB, revcomp
+from ..io.packed_db import PackedDB, revcomp, upload_codes
 from ..io.sam import cigar_from_ops, sam_header, sam_line, sam_unmapped
 from ..ops.align import extend_pair_batch_with_ops
 from ..ops.consensus_device import ops_stream
@@ -301,7 +301,7 @@ def run_ref(reads_path: str, ref_path: str, out_path: str, wrk_dir: str,
     idx = build_index(ref_db.codes, ref_db.starts, ref_db.lengths,
                       k=opts.kmer_size)
     dev = idx.as_device_arrays()
-    dev["ref_codes"] = jnp.asarray(ref_db.codes)
+    dev["ref_codes"] = upload_codes(ref_db.codes)
     log.info("ref: %d reads vs %d contigs (%d bases)", db.n_reads,
              ref_db.n_reads, ref_db.total_bases)
     with open(out_path, "w") as fh:
