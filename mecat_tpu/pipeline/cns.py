@@ -69,48 +69,120 @@ class CnsStats:
 Support = Tuple[int, int, int, int, int]
 
 
-def load_supports(path: str, db: PackedDB, input_type: int
-                  ) -> Dict[int, List[Support]]:
+class SupportTable:
+    """Columnar per-template support lists (duck-types the former dict).
+
+    Rows are [support_read, orientation, support_seed, template_seed, score]
+    sorted by (template, score desc, input order) — ``get(t)`` returns the
+    already-score-sorted rows, so the per-template ``sorted(...)[:cap]`` in
+    the correct paths is a stable no-op on them.  Built vectorised from
+    numeric column arrays: the per-line dict build was ~6 s for E. coli's
+    867k support records and would be minutes at human scale.
+    """
+
+    def __init__(self, t_ids: np.ndarray, cols: np.ndarray,
+                 tiebreak: Optional[np.ndarray] = None):
+        if tiebreak is None:
+            tiebreak = np.arange(len(t_ids))
+        order = np.lexsort((tiebreak, -cols[:, 4], t_ids))
+        self._t = t_ids[order]
+        self._cols = cols[order]
+        self._uniq, starts = np.unique(self._t, return_index=True)
+        self._offsets = np.append(starts, len(self._t))
+        self._idx = {int(v): i for i, v in enumerate(self._uniq)}
+
+    def __iter__(self):
+        return (int(v) for v in self._uniq)
+
+    def __len__(self):
+        return len(self._uniq)
+
+    def __contains__(self, t):
+        return int(t) in self._idx
+
+    def get(self, t, default=()):
+        i = self._idx.get(int(t))
+        if i is None:
+            return default
+        return self._cols[self._offsets[i]:self._offsets[i + 1]]
+
+
+def _support_columns(path: str, input_type: int):
+    """Raw numeric columns of a candidate/M4 file (native parse, fallback
+    Python).  Returns float64 [n, 9] or [n, 12] (extra -g columns ignored)."""
+    from ..native import get as _native
+
+    lib = _native()
+    ncols = 9 if input_type == 0 else 12
+    if lib is not None:
+        try:
+            return lib.parse_table(path, ncols)
+        except ValueError:
+            pass
+    if input_type == 0:
+        rows = [(r.qid, r.sid, r.score, r.qdir, r.qext, r.qsize, r.sdir,
+                 r.sext, r.ssize) for r in read_candidates(path)]
+    else:
+        rows = [(r.qid, r.sid, r.identity, r.score, r.qstrand, r.qstart,
+                 r.qend, r.qsize, r.sstrand, r.sstart, r.send, r.ssize)
+                for r in read_m4(path)]
+    return np.asarray(rows, dtype=np.float64).reshape(-1, ncols)
+
+
+def load_supports(path: str, db: PackedDB, input_type: int) -> SupportTable:
     """Parse candidate/M4 records into per-template support lists (both sides).
 
     Seeds are (support position in oriented support, template position on the
     forward template).
     """
-    by_template: Dict[int, List[Support]] = {}
-
-    def add(t, s, sdir, spos, tpos, score):
-        by_template.setdefault(t, []).append((s, sdir, spos, tpos, score))
-
+    a = _support_columns(path, input_type).astype(np.int64)
     if input_type == 0:
-        for r in read_candidates(path):
-            q, s = r.qid - 1, r.sid - 1
-            # record: qdir-oriented q aligns forward s at (qext, sext)
-            add(s, q, r.qdir, r.qext, r.sext, r.score)
-            # symmetric: template q (fwd).  If qdir=1 the relative
-            # orientation is reversed: support is rc(s); flip both seeds.
-            if r.qdir == 0:
-                add(q, s, 0, r.sext, r.qext, r.score)
-            else:
-                add(q, s, 1, r.ssize - 1 - r.sext, r.qsize - 1 - r.qext,
-                    r.score)
+        qid, sid, score = a[:, 0] - 1, a[:, 1] - 1, a[:, 2]
+        qdir, qext, qsize = a[:, 3], a[:, 4], a[:, 5]
+        sext, ssize = a[:, 7], a[:, 8]
+        # side 1: template s (fwd); qdir-oriented q aligns at (qext, sext)
+        t1 = sid
+        c1 = np.stack([qid, qdir, qext, sext, score], axis=1)
+        # side 2: template q (fwd).  If qdir=1 the relative orientation is
+        # reversed: support is rc(s); flip both seeds.
+        t2 = qid
+        spos2 = np.where(qdir == 0, sext, ssize - 1 - sext)
+        tpos2 = np.where(qdir == 0, qext, qsize - 1 - qext)
+        c2 = np.stack([sid, qdir, spos2, tpos2, score], axis=1)
     else:
-        for r in read_m4(path):
-            q, s = r.qid - 1, r.sid - 1
-            qmid = (r.qstart + r.qend) // 2
-            smid = (r.sstart + r.send) // 2
-            if r.sstrand == 0:
-                add(s, q, 0, qmid, smid, r.score)
-                add(q, s, 0, smid, qmid, r.score)
-            else:
-                # q fwd aligns rc(s) ⇔ rc(q) aligns s fwd
-                add(s, q, 1, r.qsize - 1 - qmid, smid, r.score)
-                add(q, s, 1, r.ssize - 1 - smid, qmid, r.score)
-    return by_template
+        qid, sid, score = a[:, 0] - 1, a[:, 1] - 1, a[:, 3]
+        qmid = (a[:, 5] + a[:, 6]) // 2
+        smid = (a[:, 9] + a[:, 10]) // 2
+        qsize, sstrand, ssize = a[:, 7], a[:, 8], a[:, 11]
+        t1 = sid
+        c1 = np.stack([qid, sstrand,
+                       np.where(sstrand == 0, qmid, qsize - 1 - qmid),
+                       smid, score], axis=1)
+        # q fwd aligns rc(s) ⇔ rc(q) aligns s fwd
+        t2 = qid
+        c2 = np.stack([sid, sstrand,
+                       np.where(sstrand == 0, smid, ssize - 1 - smid),
+                       qmid, score], axis=1)
+    # score ties keep the former per-record insertion order (side 1 of
+    # record i, then side 2 of record i, then record i+1): interleave
+    n = len(t1)
+    tb = np.concatenate([2 * np.arange(n), 2 * np.arange(n) + 1])
+    return SupportTable(np.concatenate([t1, t2]), np.concatenate([c1, c2]),
+                        tiebreak=tb)
 
 
 def _oriented(db: PackedDB, rid: int, direction: int) -> np.ndarray:
     r = db.read(rid)
     return revcomp(r) if direction else r
+
+
+def _capped_supports(by_template, t, cap: int):
+    """Top-`cap` supports of template t, score-sorted (works on both the
+    columnar SupportTable and plain dict-of-tuple-lists)."""
+    sups = by_template.get(t, ())
+    if not isinstance(sups, np.ndarray):
+        sups = sorted(sups, key=lambda x: -x[4])
+    return sups[:cap]
 
 
 def _orient_rows(rows, lens, flip):
@@ -139,10 +211,9 @@ def correct_batch(db: PackedDB, templates: List[int],
     # build the pair list, grouped by template
     pairs = []  # (template, support, dir, spos, tpos)
     for t in templates:
-        sups = by_template.get(t, [])
-        sups = sorted(sups, key=lambda x: -x[4])[:opts.max_supports]
-        for s, sdir, spos, tpos, score in sups:
-            pairs.append((t, s, sdir, spos, tpos))
+        for s, sdir, spos, tpos, score in _capped_supports(
+                by_template, t, opts.max_supports):
+            pairs.append((int(t), int(s), int(sdir), int(spos), int(tpos)))
     if not pairs:
         return []
 
@@ -261,14 +332,18 @@ def correct_batch_device(db: PackedDB, templates: List[int],
             a = b
         return
 
-    pairs = []  # (template, support, dir, spos, tpos)
+    # vectorised pair build: [N, 5] rows (template, support, dir, spos, tpos)
+    sup_list, t_rep = [], []
     for t in templates:
-        sups = by_template.get(t, [])
-        sups = sorted(sups, key=lambda x: -x[4])[:opts.max_supports]
-        for s, sdir, spos, tpos, score in sups:
-            pairs.append((t, s, sdir, spos, tpos))
-    if not pairs:
+        s = _capped_supports(by_template, t, opts.max_supports)
+        if len(s):
+            sup_list.append(np.asarray(s, dtype=np.int64).reshape(-1, 5))
+            t_rep.append(np.full(len(s), t, dtype=np.int64))
+    if not sup_list:
         return
+    sups_a = np.concatenate(sup_list)
+    pairs_a = np.column_stack([np.concatenate(t_rep), sups_a[:, :4]])
+    pairs = pairs_a  # len() used below
 
     T = len(templates)
     slot_of = {t: i for i, t in enumerate(templates)}
@@ -299,7 +374,6 @@ def correct_batch_device(db: PackedDB, templates: List[int],
                           L_t).astype(np.int32)
 
     # vectorised pair metadata (the per-pair Python loop was host-bound)
-    pairs_a = np.asarray(pairs, dtype=np.int64)     # [N, 5] t s dir spos tpos
     all_qlen = db.lengths[pairs_a[:, 1]].astype(np.int32)  # FULL lengths
     all_tlen = np.minimum(db.lengths[pairs_a[:, 0]], L_t).astype(np.int32)
     all_qs = np.clip(pairs_a[:, 3], 0, all_qlen - 1).astype(np.int32)
