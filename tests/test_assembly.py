@@ -240,3 +240,45 @@ def test_polish_device_matches_host():
     host = _polish_contig_host(db, tig, backbone, opts)
     assert np.array_equal(dev, host)
     assert len(dev) > 0
+
+
+def test_polish_tiled_matches_host(monkeypatch):
+    """Multi-tile device polish == host whole-table path: tiles overlap by a
+    margin covering any read's alignment span, reads go to every tile whose
+    core they can touch, and per-core emission must reproduce the
+    whole-contig vote exactly."""
+    import tempfile
+
+    from mecat_tpu.assembly import ctgcns
+    from mecat_tpu.assembly.ctgcns import (_polish_contig_device,
+                                           _polish_contig_host,
+                                           stitch_backbone)
+    from mecat_tpu.assembly.ovstore import OverlapStore
+    from mecat_tpu.assembly.unitig import build_unitigs
+    from mecat_tpu.io.m4 import write_records
+
+    genome = random_genome(24000, seed=81)
+    read_len, step, n = 1200, 800, 29
+    rng = np.random.default_rng(82)
+    reads = []
+    for i in range(n):
+        r = np.array(genome[i * step:i * step + read_len])
+        err = rng.random(len(r)) < 0.05
+        r[err] = (r[err] + rng.integers(1, 4, err.sum())) % 4
+        reads.append(r)
+    db = _db_from(reads)
+    recs = _perfect_overlaps(reads, [0] * n, read_len, step)
+    with tempfile.TemporaryDirectory() as d:
+        m4p = os.path.join(d, "o.m4")
+        write_records(m4p, recs)
+        store = OverlapStore.from_m4(m4p, n)
+    tig = build_unitigs(store, end_slack=60).unitigs[0]
+    backbone = stitch_backbone(db, tig)
+    assert len(backbone) > 15000
+    opts = CtgCnsOptions(extend_batch=8, align_segment=128, align_band=64)
+    # margin for 1200bp reads at S=128: bucket(1800+512)=3072; force tiles
+    # of 8192 so the backbone splits into several cores of 2048
+    monkeypatch.setattr(ctgcns, "_TILE_L_MAX", 8192)
+    dev = _polish_contig_device(db, tig, backbone, opts)
+    host = _polish_contig_host(db, tig, backbone, opts)
+    assert np.array_equal(dev, host)
