@@ -108,6 +108,58 @@ def columns_to_tags(ops: np.ndarray, qpos: np.ndarray, tpos: np.ndarray,
             base[keep].astype(np.int32))
 
 
+_DEL_BIAS = float(__import__("os").environ.get("MECAT_TPU_CNS_DEL_BIAS", "0.5"))  # pooled-deletion rounding bias
+
+
+def _run_pooled_deletions(template: np.ndarray, counts: np.ndarray,
+                          coverage: np.ndarray, self_vote: int) -> np.ndarray:
+    """Homopolymer-aware deletion mask (hybrid plurality + run pooling).
+
+    Positions where GAP wins the per-position plurality are deleted as
+    before.  On top of that: when the template carries an extra base inside
+    an equal-letter run, each support deletes a DIFFERENT (noise-dependent)
+    run position, so GAP votes split ~1/run_length ways and never win a
+    plurality — measured as the dominant residual error of corrected reads
+    (+1.4% insertions vs truth).  Pool the run's GAP votes; if
+    round(G / mean_coverage) exceeds the plurality deletions, delete that
+    many extra positions (the first non-plurality-deleted ones — which
+    positions is immaterial, the run letters are equal).
+    """
+    gap_votes = counts[:, 0, GAP]
+    deleted = gap_votes > np.max(counts[:, 0, :4], axis=1)
+    L = len(template)
+    if L == 0:
+        return np.zeros(0, dtype=bool)
+    pos = np.arange(L, dtype=np.int64)
+    brk = np.ones(L, dtype=bool)
+    brk[1:] = template[1:] != template[:-1]
+    run_start = np.maximum.accumulate(np.where(brk, pos, 0))
+    cg = np.concatenate([[0], np.cumsum(gap_votes, dtype=np.int64)])
+    cc = np.concatenate([[0], np.cumsum(coverage, dtype=np.int64)])
+    cd = np.concatenate([[0], np.cumsum(deleted, dtype=np.int64)])
+    cn = np.concatenate([[0], np.cumsum(~deleted, dtype=np.int64)])
+    starts = pos[brk]
+    ends = np.concatenate([starts[1:], [L]])
+    G = cg[ends] - cg[starts]
+    run_len = np.maximum(ends - starts, 1)
+    # integer arithmetic (exact; the device path computes the IDENTICAL
+    # formula in int32, so it saturates first and uses the floored integer
+    # mean coverage m): k = floor(G/m + bias), bias in 1/100ths
+    m = np.maximum((cc[ends] - cc[starts]) // run_len + self_vote, 1)
+    b100 = int(round(_DEL_BIAS * 100))
+    sat = G >= m * (run_len + 1)
+    G_c = np.minimum(G, m * (run_len + 1))
+    k_pool = np.where(sat, run_len,
+                      np.minimum((100 * G_c + b100 * m) // (100 * m),
+                                 run_len)).astype(np.int64)
+    k_extra = np.maximum(k_pool - (cd[ends] - cd[starts]), 0)
+    karr = np.zeros(L, dtype=np.int64)
+    karr[starts] = k_extra
+    # rank of each non-plurality-deleted position within its run
+    nd_rank = cn[pos] - cn[run_start]
+    return deleted | (~deleted & (nd_rank < karr[run_start]))
+
+
 class CnsTable:
     """Per-template tag accumulator: counts[L, max_delta+1, 5] + coverage."""
 
@@ -138,7 +190,9 @@ class CnsTable:
         TODO(ref): exact reference split rule unknown (mount empty).
         """
         cov_ok = self.coverage >= min_coverage
-        base_win = np.argmax(self.counts[:, 0, :], axis=1)       # [L]
+        base_win = np.argmax(self.counts[:, 0, :4], axis=1)      # [L] no GAP
+        deleted = _run_pooled_deletions(self.template, self.counts,
+                                        self.coverage, self_vote=1)
         # insertion slots: emitted when the majority of spanning supports
         # have an inserted base there; a run stops at the first non-emitted
         # delta (prefix rule)
@@ -150,7 +204,7 @@ class CnsTable:
 
         D1 = self.counts.shape[1]
         emit = np.full((self.L, D1), -1, dtype=np.int32)
-        emit[:, 0] = np.where(cov_ok & (base_win != GAP), base_win, -1)
+        emit[:, 0] = np.where(cov_ok & ~deleted, base_win, -1)
         emit[:, 1:] = np.where(cov_ok[:, None] & ins_emit, ins_win, -1)
 
         # split at low-coverage positions: segment id = running count of gaps
@@ -173,7 +227,9 @@ class CnsTable:
         majority vote applies including deletions and insertion slots.
         """
         use = self.coverage >= min_coverage
-        base_win = np.argmax(self.counts[:, 0, :], axis=1)
+        base_win = np.argmax(self.counts[:, 0, :4], axis=1)
+        deleted = _run_pooled_deletions(self.template, self.counts,
+                                        self.coverage, self_vote=0)
         ins_tot = self.counts[:, 1:, :4].sum(axis=2)
         ins_win = np.argmax(self.counts[:, 1:, :4], axis=2)
         ins_emit = np.cumprod(
@@ -183,7 +239,7 @@ class CnsTable:
         D1 = self.counts.shape[1]
         emit = np.full((self.L, D1), -1, dtype=np.int32)
         emit[:, 0] = np.where(use,
-                              np.where(base_win != GAP, base_win, -1),
+                              np.where(~deleted, base_win, -1),
                               self.template)
         emit[:, 1:] = np.where(use[:, None] & ins_emit, ins_win, -1)
         flat = emit.reshape(-1)

@@ -326,7 +326,10 @@ def call_tables(counts: jnp.ndarray,        # int32 [T, L, D1, 5]
 
     coverage = jnp.cumsum(cov_diff[:, :L], axis=1)
     cov_ok = (coverage >= min_coverage) & in_read & has_support[:, None]
-    base_win = jnp.argmax(counts[:, :, 0, :], axis=2)         # [T, L]
+    base_win = jnp.argmax(counts[:, :, 0, :4], axis=2)        # [T, L] no GAP
+    deleted = _run_pooled_deletions_dev(
+        template.astype(jnp.int32), counts, coverage, tlen,
+        self_vote=0 if keep_template else 1)
     ins_tot = jnp.sum(counts[:, :, 1:, :4], axis=3)           # [T, L, D1-1]
     ins_win = jnp.argmax(counts[:, :, 1:, :4], axis=3)
     ins_emit = jnp.cumprod(
@@ -334,7 +337,7 @@ def call_tables(counts: jnp.ndarray,        # int32 [T, L, D1, 5]
             jnp.int32), axis=2).astype(bool)
 
     emit = jnp.full((T, L, D1), -1, jnp.int32)
-    base0 = jnp.where(cov_ok & (base_win != GAP), base_win, -1)
+    base0 = jnp.where(cov_ok & ~deleted, base_win, -1)
     if keep_template:
         base0 = jnp.where(cov_ok, base0,
                           jnp.where(in_read, template.astype(jnp.int32), -1))
@@ -342,6 +345,59 @@ def call_tables(counts: jnp.ndarray,        # int32 [T, L, D1, 5]
     emit = emit.at[:, :, 1:].set(
         jnp.where(cov_ok[:, :, None] & ins_emit, ins_win, -1))
     return emit, cov_ok
+
+
+def _run_pooled_deletions_dev(template, counts, coverage, tlen,
+                              self_vote: int):
+    """Device mirror of ops/consensus._run_pooled_deletions (exact).
+
+    Hybrid plurality + homopolymer-run-pooled GAP votes: see the host
+    docstring.  All segmented run quantities are prefix sums gathered at
+    run starts/ends — [T, L] element gathers, once per table call.
+    """
+    from ..ops.consensus import _DEL_BIAS
+
+    T, L = template.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    gap_votes = counts[:, :, 0, GAP]
+    deleted = gap_votes > jnp.max(counts[:, :, 0, :4], axis=2)
+    brk = jnp.concatenate(
+        [jnp.ones((T, 1), bool), template[:, 1:] != template[:, :-1]],
+        axis=1)
+    brk = brk | (pos == tlen[:, None])    # padding is its own run
+    run_start = jax.lax.cummax(jnp.where(brk, pos, 0), axis=1)
+    # next-break index (exclusive run end) via suffix-min of break positions
+    nxt = jnp.where(brk, pos, L)
+    run_end = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.concatenate(
+            [nxt[:, 1:], jnp.full((T, 1), L, jnp.int32)], axis=1),
+            axis=1), axis=1), axis=1)
+
+    def prefix(x):
+        c = jnp.cumsum(x.astype(jnp.int64), axis=1)
+        return jnp.concatenate(
+            [jnp.zeros((T, 1), jnp.int64), c], axis=1)
+
+    cg, cc = prefix(gap_votes), prefix(coverage)
+    cd, cn = prefix(deleted), prefix(~deleted)
+    row = jnp.arange(T, dtype=jnp.int32)[:, None]
+    G = (cg[row, run_end] - cg[row, run_start]).astype(jnp.int32)
+    run_len = jnp.maximum(run_end - run_start, 1)
+    # integer arithmetic, int32-safe via saturation — must agree
+    # bit-for-bit with the host rule
+    m = jnp.maximum((cc[row, run_end] - cc[row, run_start]).astype(jnp.int32)
+                    // run_len + self_vote, 1)
+    b100 = int(round(_DEL_BIAS * 100))
+    sat = G >= m * (run_len + 1)
+    G_c = jnp.minimum(G, m * (run_len + 1))
+    k_pool = jnp.where(sat, run_len,
+                       jnp.minimum((100 * G_c + b100 * m) // (100 * m),
+                                   run_len)).astype(jnp.int32)
+    k_extra = jnp.maximum(
+        k_pool - (cd[row, run_end] - cd[row, run_start]).astype(jnp.int32),
+        0)
+    nd_rank = (cn[row, pos] - cn[row, run_start]).astype(jnp.int32)
+    return deleted | (~deleted & (nd_rank < k_extra))
 
 
 def split_called(emit_row, cov_ok_row, tlen: int, min_length: int):
