@@ -108,7 +108,7 @@ def columns_to_tags(ops: np.ndarray, qpos: np.ndarray, tpos: np.ndarray,
             base[keep].astype(np.int32))
 
 
-_DEL_BIAS = float(__import__("os").environ.get("MECAT_TPU_CNS_DEL_BIAS", "0.5"))  # pooled-deletion rounding bias
+_DEL_BIAS = float(__import__("os").environ.get("MECAT_TPU_CNS_DEL_BIAS", "0.6"))  # pooled-deletion rounding bias
 
 
 def _run_pooled_deletions(template: np.ndarray, counts: np.ndarray,
@@ -160,6 +160,82 @@ def _run_pooled_deletions(template: np.ndarray, counts: np.ndarray,
     return deleted | (~deleted & (nd_rank < karr[run_start]))
 
 
+_INS_BIAS = float(__import__("os").environ.get("MECAT_TPU_CNS_INS_BIAS",
+                                               "0.6"))
+
+
+def _run_pooled_insertions(template: np.ndarray, counts: np.ndarray,
+                           coverage: np.ndarray, ins_emit: np.ndarray,
+                           ins_win: np.ndarray, self_vote: int) -> np.ndarray:
+    """Extra run-letter insertions per template homopolymer run (pooled).
+
+    Mirror image of _run_pooled_deletions: when the template MISSES a base
+    of an equal-letter run, supports insert the letter at noise-dependent
+    anchors across the run (and at the anchor just before it), splitting
+    the per-slot votes below the emit majority.  Pool the run-letter
+    insertion votes over those anchors; the excess over already-emitted
+    run-letter insertions is returned per RUN START as a count of extra
+    letters to emit (position within the run is immaterial).
+    """
+    L = len(template)
+    if L == 0:
+        return np.zeros(0, dtype=np.int64)
+    pos = np.arange(L, dtype=np.int64)
+    brk = np.ones(L, dtype=bool)
+    brk[1:] = template[1:] != template[:-1]
+    starts = pos[brk]
+    ends = np.concatenate([starts[1:], [L]])
+    letters = template[starts].astype(np.int64)
+    # per-anchor votes for (a) its own run letter, (b) the NEXT run's letter
+    ins_by_letter = counts[:, 1:, :4].sum(axis=1)            # [L, 4]
+    v_own = ins_by_letter[pos, template.astype(np.int64)]
+    emitted_own = ((ins_emit & (ins_win == template[:, None].astype(
+        np.int64))).sum(axis=1))
+    cv = np.concatenate([[0], np.cumsum(v_own, dtype=np.int64)])
+    ce = np.concatenate([[0], np.cumsum(emitted_own, dtype=np.int64)])
+    cc = np.concatenate([[0], np.cumsum(coverage, dtype=np.int64)])
+    I = cv[ends] - cv[starts]
+    E = ce[ends] - ce[starts]
+    # boundary anchor: the position just before the run voting for the
+    # run's letter (insertions extending the run leftward)
+    left = starts - 1
+    has_left = starts > 0
+    lw = np.where(has_left, left, 0)
+    I = I + np.where(has_left, ins_by_letter[lw, letters], 0)
+    E = E + np.where(
+        has_left,
+        (ins_emit[lw] & (ins_win[lw] == letters[:, None])).sum(axis=1), 0)
+    run_len = np.maximum(ends - starts, 1)
+    m = np.maximum((cc[ends] - cc[starts]) // run_len + self_vote, 1)
+    b100 = int(round(_INS_BIAS * 100))
+    sat = I >= m * (run_len + 1)
+    I_c = np.minimum(I, m * (run_len + 1))
+    k_pool = np.where(sat, run_len,
+                      (100 * I_c + b100 * m) // (100 * m))
+    k_extra = np.maximum(k_pool - E, 0)
+    out = np.zeros(L, dtype=np.int64)
+    out[starts] = k_extra
+    return out
+
+
+def _apply_extra_insertions(emit: np.ndarray, extra: np.ndarray,
+                            template: np.ndarray, gate: np.ndarray) -> None:
+    """Fill up to `extra[s]` free insertion slots at each run start s with
+    the run letter (in place).  gate: per-position eligibility (cov_ok)."""
+    starts = np.nonzero(extra > 0)[0]
+    D1 = emit.shape[1]
+    for s in starts:
+        if not gate[s]:
+            continue
+        k = int(extra[s])
+        for d in range(1, D1):
+            if k == 0:
+                break
+            if emit[s, d] < 0:
+                emit[s, d] = int(template[s])
+                k -= 1
+
+
 class CnsTable:
     """Per-template tag accumulator: counts[L, max_delta+1, 5] + coverage."""
 
@@ -206,6 +282,10 @@ class CnsTable:
         emit = np.full((self.L, D1), -1, dtype=np.int32)
         emit[:, 0] = np.where(cov_ok & ~deleted, base_win, -1)
         emit[:, 1:] = np.where(cov_ok[:, None] & ins_emit, ins_win, -1)
+        extra = _run_pooled_insertions(self.template, self.counts,
+                                       self.coverage, ins_emit, ins_win,
+                                       self_vote=1)
+        _apply_extra_insertions(emit, extra, self.template, cov_ok)
 
         # split at low-coverage positions: segment id = running count of gaps
         seg_id = np.repeat(np.cumsum(~cov_ok), D1)
@@ -242,5 +322,9 @@ class CnsTable:
                               np.where(~deleted, base_win, -1),
                               self.template)
         emit[:, 1:] = np.where(use[:, None] & ins_emit, ins_win, -1)
+        extra = _run_pooled_insertions(self.template, self.counts,
+                                       self.coverage, ins_emit, ins_win,
+                                       self_vote=0)
+        _apply_extra_insertions(emit, extra, self.template, use)
         flat = emit.reshape(-1)
         return flat[flat >= 0].astype(np.uint8)

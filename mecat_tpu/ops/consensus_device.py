@@ -342,9 +342,79 @@ def call_tables(counts: jnp.ndarray,        # int32 [T, L, D1, 5]
         base0 = jnp.where(cov_ok, base0,
                           jnp.where(in_read, template.astype(jnp.int32), -1))
     emit = emit.at[:, :, 0].set(base0)
-    emit = emit.at[:, :, 1:].set(
-        jnp.where(cov_ok[:, :, None] & ins_emit, ins_win, -1))
+    ins_slots = jnp.where(cov_ok[:, :, None] & ins_emit, ins_win, -1)
+    extra = _run_pooled_insertions_dev(
+        template.astype(jnp.int32), counts, coverage, ins_emit, ins_win,
+        tlen, self_vote=0 if keep_template else 1)
+    gate = cov_ok if not keep_template else (coverage >= min_coverage)
+    extra = jnp.where(gate, extra, 0)
+    # fill the first `extra` FREE slots at each run start with the run letter
+    free = ins_slots < 0
+    frank = jnp.cumsum(free.astype(jnp.int32), axis=2)
+    fill = free & (frank <= extra[:, :, None])
+    ins_slots = jnp.where(fill, template.astype(jnp.int32)[:, :, None],
+                          ins_slots)
+    emit = emit.at[:, :, 1:].set(ins_slots)
     return emit, cov_ok
+
+
+def _run_pooled_insertions_dev(template, counts, coverage, ins_emit,
+                               ins_win, tlen, self_vote: int):
+    """Device mirror of ops/consensus._run_pooled_insertions (exact):
+    per-position count of EXTRA run-letter insertions, nonzero only at run
+    starts."""
+    from ..ops.consensus import _INS_BIAS
+
+    T, L = template.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    row = jnp.arange(T, dtype=jnp.int32)[:, None]
+    brk = jnp.concatenate(
+        [jnp.ones((T, 1), bool), template[:, 1:] != template[:, :-1]],
+        axis=1) | (pos == tlen[:, None])
+    run_start = jax.lax.cummax(jnp.where(brk, pos, 0), axis=1)
+    nxt = jnp.where(brk, pos, L)
+    run_end = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.concatenate(
+            [nxt[:, 1:], jnp.full((T, 1), L, jnp.int32)], axis=1),
+            axis=1), axis=1), axis=1)
+
+    ins_by_letter = jnp.sum(counts[:, :, 1:, :4], axis=2)     # [T, L, 4]
+    v_own = jnp.take_along_axis(ins_by_letter, template[:, :, None],
+                                axis=2)[:, :, 0]
+    emitted_own = jnp.sum(
+        ins_emit & (ins_win == template[:, :, None]), axis=2)
+
+    def prefix(x):
+        c = jnp.cumsum(x.astype(jnp.int32), axis=1)
+        return jnp.concatenate([jnp.zeros((T, 1), jnp.int32), c], axis=1)
+
+    cv, ce, cc = prefix(v_own), prefix(emitted_own), prefix(coverage)
+    I = cv[row, run_end] - cv[row, run_start]
+    E = ce[row, run_end] - ce[row, run_start]
+    # left-boundary anchor (the position just before the run) voting for
+    # THIS run's letter
+    letter = jnp.take_along_axis(template, run_start, axis=1)
+    ls = jnp.maximum(run_start - 1, 0)
+    # gather ins_by_letter[row, ls, letter]: two-step take_along_axis
+    g1 = jnp.take_along_axis(ins_by_letter, ls[:, :, None], axis=1)  # [T,L,4]
+    v_left = jnp.take_along_axis(g1, letter[:, :, None], axis=2)[:, :, 0]
+    e1 = jnp.take_along_axis(ins_emit, ls[:, :, None], axis=1)
+    w1 = jnp.take_along_axis(ins_win, ls[:, :, None], axis=1)
+    e_left = jnp.sum(e1 & (w1 == letter[:, :, None]), axis=2)
+    has_left = run_start > 0
+    I = I + jnp.where(has_left, v_left, 0)
+    E = E + jnp.where(has_left, e_left, 0)
+
+    run_len = jnp.maximum(run_end - run_start, 1)
+    m = jnp.maximum((cc[row, run_end] - cc[row, run_start]) // run_len
+                    + self_vote, 1)
+    b100 = int(round(_INS_BIAS * 100))
+    sat = I >= m * (run_len + 1)
+    I_c = jnp.minimum(I, m * (run_len + 1))
+    k_pool = jnp.where(sat, run_len,
+                       (100 * I_c + b100 * m) // (100 * m))
+    k_extra = jnp.maximum(k_pool - E, 0)
+    return jnp.where(pos == run_start, k_extra, 0)
 
 
 def _run_pooled_deletions_dev(template, counts, coverage, tlen,
