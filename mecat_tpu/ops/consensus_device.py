@@ -444,9 +444,10 @@ def _run_pooled_deletions_dev(template, counts, coverage, tlen,
             axis=1), axis=1), axis=1)
 
     def prefix(x):
-        c = jnp.cumsum(x.astype(jnp.int64), axis=1)
+        # int32: bounded by coverage * L (~2^21 at the largest slices)
+        c = jnp.cumsum(x.astype(jnp.int32), axis=1)
         return jnp.concatenate(
-            [jnp.zeros((T, 1), jnp.int64), c], axis=1)
+            [jnp.zeros((T, 1), jnp.int32), c], axis=1)
 
     cg, cc = prefix(gap_votes), prefix(coverage)
     cd, cn = prefix(deleted), prefix(~deleted)
