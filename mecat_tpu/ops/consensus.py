@@ -108,7 +108,10 @@ def columns_to_tags(ops: np.ndarray, qpos: np.ndarray, tpos: np.ndarray,
             base[keep].astype(np.int32))
 
 
-_DEL_BIAS = float(__import__("os").environ.get("MECAT_TPU_CNS_DEL_BIAS", "0.6"))  # pooled-deletion rounding bias
+_DEL_BIAS = float(__import__("os").environ.get("MECAT_TPU_CNS_DEL_BIAS", "0.5"))  # pooled-deletion rounding bias
+#: pooled top-ups need believable mean coverage: with < _POOL_MIN_COV the
+#: G/m estimate over-fires (E. coli E2E: mid-coverage reads lost ~100 bases)
+_POOL_MIN_COV = int(__import__("os").environ.get("MECAT_TPU_CNS_POOL_MIN_COV", "5"))
 
 
 def _run_pooled_deletions(template: np.ndarray, counts: np.ndarray,
@@ -152,7 +155,8 @@ def _run_pooled_deletions(template: np.ndarray, counts: np.ndarray,
     k_pool = np.where(sat, run_len,
                       np.minimum((100 * G_c + b100 * m) // (100 * m),
                                  run_len)).astype(np.int64)
-    k_extra = np.maximum(k_pool - (cd[ends] - cd[starts]), 0)
+    k_extra = np.where(m >= _POOL_MIN_COV,
+                       np.maximum(k_pool - (cd[ends] - cd[starts]), 0), 0)
     karr = np.zeros(L, dtype=np.int64)
     karr[starts] = k_extra
     # rank of each non-plurality-deleted position within its run
@@ -212,7 +216,7 @@ def _run_pooled_insertions(template: np.ndarray, counts: np.ndarray,
     I_c = np.minimum(I, m * (run_len + 1))
     k_pool = np.where(sat, run_len,
                       (100 * I_c + b100 * m) // (100 * m))
-    k_extra = np.maximum(k_pool - E, 0)
+    k_extra = np.where(m >= _POOL_MIN_COV, np.maximum(k_pool - E, 0), 0)
     out = np.zeros(L, dtype=np.int64)
     out[starts] = k_extra
     return out

@@ -413,7 +413,8 @@ def _run_pooled_insertions_dev(template, counts, coverage, ins_emit,
     I_c = jnp.minimum(I, m * (run_len + 1))
     k_pool = jnp.where(sat, run_len,
                        (100 * I_c + b100 * m) // (100 * m))
-    k_extra = jnp.maximum(k_pool - E, 0)
+    from ..ops.consensus import _POOL_MIN_COV
+    k_extra = jnp.where(m >= _POOL_MIN_COV, jnp.maximum(k_pool - E, 0), 0)
     return jnp.where(pos == run_start, k_extra, 0)
 
 
@@ -464,9 +465,11 @@ def _run_pooled_deletions_dev(template, counts, coverage, tlen,
     k_pool = jnp.where(sat, run_len,
                        jnp.minimum((100 * G_c + b100 * m) // (100 * m),
                                    run_len)).astype(jnp.int32)
-    k_extra = jnp.maximum(
-        k_pool - (cd[row, run_end] - cd[row, run_start]).astype(jnp.int32),
-        0)
+    from ..ops.consensus import _POOL_MIN_COV
+    k_extra = jnp.where(
+        m >= _POOL_MIN_COV,
+        jnp.maximum(k_pool - (cd[row, run_end]
+                              - cd[row, run_start]).astype(jnp.int32), 0), 0)
     nd_rank = (cn[row, pos] - cn[row, run_start]).astype(jnp.int32)
     return deleted | (~deleted & (nd_rank < k_extra))
 
