@@ -112,6 +112,10 @@ _DEL_BIAS = float(__import__("os").environ.get("MECAT_TPU_CNS_DEL_BIAS", "0.5"))
 #: pooled top-ups need believable mean coverage: with < _POOL_MIN_COV the
 #: G/m estimate over-fires (E. coli E2E: mid-coverage reads lost ~100 bases)
 _POOL_MIN_COV = int(__import__("os").environ.get("MECAT_TPU_CNS_POOL_MIN_COV", "5"))
+#: the insertion side over-fires at moderate coverage (noisy anchors add
+#: wrong letters); it needs stronger evidence than the deletion side
+_POOL_MIN_COV_INS = int(__import__("os").environ.get(
+    "MECAT_TPU_CNS_POOL_MIN_COV_INS", "8"))
 
 
 def _run_pooled_deletions(template: np.ndarray, counts: np.ndarray,
@@ -216,7 +220,7 @@ def _run_pooled_insertions(template: np.ndarray, counts: np.ndarray,
     I_c = np.minimum(I, m * (run_len + 1))
     k_pool = np.where(sat, run_len,
                       (100 * I_c + b100 * m) // (100 * m))
-    k_extra = np.where(m >= _POOL_MIN_COV, np.maximum(k_pool - E, 0), 0)
+    k_extra = np.where(m >= _POOL_MIN_COV_INS, np.maximum(k_pool - E, 0), 0)
     out = np.zeros(L, dtype=np.int64)
     out[starts] = k_extra
     return out

@@ -413,8 +413,9 @@ def _run_pooled_insertions_dev(template, counts, coverage, ins_emit,
     I_c = jnp.minimum(I, m * (run_len + 1))
     k_pool = jnp.where(sat, run_len,
                        (100 * I_c + b100 * m) // (100 * m))
-    from ..ops.consensus import _POOL_MIN_COV
-    k_extra = jnp.where(m >= _POOL_MIN_COV, jnp.maximum(k_pool - E, 0), 0)
+    from ..ops.consensus import _POOL_MIN_COV_INS
+    k_extra = jnp.where(m >= _POOL_MIN_COV_INS,
+                        jnp.maximum(k_pool - E, 0), 0)
     return jnp.where(pos == run_start, k_extra, 0)
 
 
