@@ -53,7 +53,6 @@ class AsmOptions:
     min_overlap_length: int = 500
     min_contig_length: int = 1000
     end_slack: int = 100
-    meryl_k: int = 16
     pw: Optional[PwOptions] = None
     trim: Optional[TrimOptions] = None
     cns: Optional[CtgCnsOptions] = None
@@ -132,17 +131,26 @@ def run_assembly(reads_path: str, prefix: str, wrk_dir: str,
         return report
 
     # -- meryl: k-mer spectrum → overlap-seeding frequency cutoff -------------
+    # The spectrum is computed at the OVERLAPPER's k so the derived cutoff is
+    # directly an occurrence bound for the pw index; both overlap rounds
+    # (trim + assembly) consume it as PwOptions.index_cutoff — the reference
+    # wires meryl's threshold into overlap seeding the same way (SURVEY.md
+    # §2.2 row 9).
+    pw_opts = opts.pw or PwOptions(task=1,
+                                   min_align_size=opts.min_overlap_length)
     st = Stage(wrk_dir, "meryl", report)
     meryl_path = path(prefix + ".meryl.npz")
     if not st.done:
-        hist = kmer_histogram(db, k=opts.meryl_k)
+        hist = kmer_histogram(db, k=pw_opts.kmer_size)
         cutoff = pick_freq_cutoff(hist)
         np.savez(meryl_path, hist=hist, cutoff=np.int64(cutoff),
-                 k=np.int64(opts.meryl_k))
-        st.finish(k=opts.meryl_k, cutoff=int(cutoff))
-
-    pw_opts = opts.pw or PwOptions(task=1,
-                                   min_align_size=opts.min_overlap_length)
+                 k=np.int64(pw_opts.kmer_size))
+        st.finish(k=pw_opts.kmer_size, cutoff=int(cutoff))
+    meryl = np.load(meryl_path)
+    if pw_opts.index_cutoff is None:
+        pw_opts.index_cutoff = int(meryl["cutoff"])
+    log.info("canu: meryl k=%d seeding cutoff=%d", int(meryl["k"]),
+             pw_opts.index_cutoff)
 
     # -- trim round: overlap + overlap-based trimming -------------------------
     asm_reads = reads_path

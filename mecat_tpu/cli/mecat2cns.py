@@ -30,14 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", dest="partition_size", type=int,
                    default=C.DEFAULT_PARTITION_BATCH,
                    help="templates per partition batch")
-    p.add_argument("-r", dest="min_mapping_ratio", type=float,
-                   default=C.DEFAULT_MIN_MAPPING_RATIO)
-    p.add_argument("-a", dest="min_align_size", type=int,
-                   default=C.DEFAULT_CNS_MIN_OVERLAP)
-    p.add_argument("-c", dest="min_coverage", type=int,
-                   default=C.DEFAULT_MIN_COVERAGE)
-    p.add_argument("-l", dest="min_length", type=int,
-                   default=C.DEFAULT_MIN_CORRECTED_LENGTH)
+    # None ⇒ the per-technology preset for -x decides (reference
+    # ConsensusOptions behaviour; constants.CNS_TECH_PRESETS)
+    p.add_argument("-r", dest="min_mapping_ratio", type=float, default=None)
+    p.add_argument("-a", dest="min_align_size", type=int, default=None)
+    p.add_argument("-c", dest="min_coverage", type=int, default=None)
+    p.add_argument("-l", dest="min_length", type=int, default=None)
     p.add_argument("--align-segment", type=int, default=C.ALIGN_SEGMENT)
     p.add_argument("--align-band", type=int, default=C.ALIGN_BAND)
     p.add_argument("--extend-batch", type=int, default=128)
@@ -49,8 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    opts = CnsOptions(
-        input_type=args.input_type, tech=args.tech,
+    opts = CnsOptions.for_tech(
+        args.tech,
+        input_type=args.input_type,
         partition_size=args.partition_size,
         min_mapping_ratio=args.min_mapping_ratio,
         min_align_size=args.min_align_size, min_coverage=args.min_coverage,

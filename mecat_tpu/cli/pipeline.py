@@ -48,9 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=C.DEFAULT_NUM_CANDIDATES)
     p.add_argument("-a", dest="min_align_size", type=int,
                    default=C.DEFAULT_MIN_ALIGN_SIZE)
-    p.add_argument("--min-coverage", type=int, default=C.DEFAULT_MIN_COVERAGE)
-    p.add_argument("--min-length", type=int,
-                   default=C.DEFAULT_MIN_CORRECTED_LENGTH)
+    # None ⇒ the per-technology preset for -x decides (CNS_TECH_PRESETS)
+    p.add_argument("--min-coverage", type=int, default=None)
+    p.add_argument("--min-length", type=int, default=None)
     p.add_argument("--kmer-size", type=int, default=C.KMER_SIZE)
     p.add_argument("--scan-stride", type=int, default=C.KMER_SCAN_STRIDE)
     p.add_argument("--scan-batch", type=int, default=C.DEFAULT_SCAN_BATCH)
@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    preset = C.CNS_TECH_PRESETS[args.tech]
+    if args.min_length is None:
+        args.min_length = preset["min_length"]
+    if args.min_coverage is None:
+        args.min_coverage = preset["min_coverage"]
     os.makedirs(args.out_dir, exist_ok=True)
     pw_kwargs = dict(
         num_candidates=args.num_candidates,
@@ -96,12 +101,13 @@ def main(argv=None) -> int:
         PwOptions(task=0, **pw_kwargs)))
     stage("cns", corrected, lambda: run_cns(
         candidates, args.reads, corrected,
-        CnsOptions(input_type=0, tech=args.tech,
-                   min_coverage=args.min_coverage,
-                   min_length=args.min_length,
-                   align_segment=args.align_segment,
-                   align_band=args.align_band,
-                   extend_batch=args.extend_batch)))
+        CnsOptions.for_tech(
+            args.tech, input_type=0,
+            min_coverage=args.min_coverage,
+            min_length=args.min_length,
+            align_segment=args.align_segment,
+            align_band=args.align_band,
+            extend_batch=args.extend_batch)))
     stage("extract", extracted,
           lambda: _extract_to(corrected, extracted, args))
     stage("asm-overlaps", asm_ovl, lambda: run_pw(

@@ -104,6 +104,20 @@ DEFAULT_PARTITION_BATCH = 100_000
 TECH_PACBIO = 0
 TECH_NANOPORE = 1
 
+#: per-technology mecat2cns defaults, applied to any flag the user leaves
+#: unset (reference ConsensusOptions drives these from -x; SURVEY.md §2.1
+#: row 4, Appendix B).  TODO(ref): values reconstructed from memory of the
+#: reference usage text — believed r 0.9/0.4, a 2000/400, c 6/6, l 5000/2000
+#: for pacbio/nanopore; re-read from options.cpp when the mount appears.
+#: min_identity is ours (the reference gates per-segment error instead):
+#: nanopore pair alignments run ~10 points lower identity than pacbio.
+CNS_TECH_PRESETS = {
+    TECH_PACBIO: dict(min_mapping_ratio=0.9, min_align_size=2000,
+                      min_coverage=6, min_length=5000, min_identity=70.0),
+    TECH_NANOPORE: dict(min_mapping_ratio=0.4, min_align_size=400,
+                        min_coverage=6, min_length=2000, min_identity=60.0),
+}
+
 # ---------------------------------------------------------------------------
 # Device batching (ours, not reference-governed)
 # ---------------------------------------------------------------------------

@@ -104,6 +104,7 @@ class KmerIndex:
 def build_index(codes: np.ndarray, starts: np.ndarray, lengths: np.ndarray,
                 k: int = C.KMER_SIZE,
                 freq_cutoff_multiple: float = C.KMER_FREQ_CUTOFF_MULTIPLE,
+                freq_cutoff_abs: int | None = None,
                 device: bool | None = None) -> KmerIndex:
     """Build the CSR k-mer table over a volume's flat code array.
 
@@ -122,7 +123,7 @@ def build_index(codes: np.ndarray, starts: np.ndarray, lengths: np.ndarray,
                   and jax.default_backend() == "tpu")
     if device and len(codes):
         return _build_index_device(codes, starts, lengths, k,
-                                   freq_cutoff_multiple)
+                                   freq_cutoff_multiple, freq_cutoff_abs)
     n_slots = 1 << (2 * k)
     starts = starts.astype(np.int64)
     lengths = lengths.astype(np.int64)
@@ -143,7 +144,9 @@ def build_index(codes: np.ndarray, starts: np.ndarray, lengths: np.ndarray,
     positions = vpos[order].astype(np.int32)
 
     mean_occ = max(1.0, len(vcodes) / max(1, np.count_nonzero(counts)))
-    cutoff = max(int(mean_occ * freq_cutoff_multiple), C.MAX_OCC_PER_KMER)
+    cutoff = (int(freq_cutoff_abs) if freq_cutoff_abs is not None
+              else max(int(mean_occ * freq_cutoff_multiple),
+                       C.MAX_OCC_PER_KMER))
     assert offsets[-1] == len(positions)
     pos_rid = (np.searchsorted(starts, positions.astype(np.int64),
                                side="right") - 1).astype(np.int32)
@@ -185,7 +188,8 @@ def _build_index_device_jit(codes: jnp.ndarray, starts: jnp.ndarray,
 
 
 def _build_index_device(codes, starts, lengths, k,
-                        freq_cutoff_multiple) -> KmerIndex:
+                        freq_cutoff_multiple,
+                        freq_cutoff_abs=None) -> KmerIndex:
     """Device build; the big arrays STAY on device (jnp) — consumers probe
     them in place, and pulling 4^k offsets back to the host measured 30s+
     over this sandbox's device tunnel.  Only two scalars sync."""
@@ -208,7 +212,9 @@ def _build_index_device(codes, starts, lengths, k,
     pos_loc = loc_s[:n_valid]
     positions = (jnp.asarray(starts32)[pos_rid] + pos_loc).astype(jnp.int32)
     mean_occ = max(1.0, n_valid / max(1, int(n_distinct)))
-    cutoff = max(int(mean_occ * freq_cutoff_multiple), C.MAX_OCC_PER_KMER)
+    cutoff = (int(freq_cutoff_abs) if freq_cutoff_abs is not None
+              else max(int(mean_occ * freq_cutoff_multiple),
+                       C.MAX_OCC_PER_KMER))
     return KmerIndex(k=k, offsets=offsets, positions=positions,
                      pos_rid=pos_rid, pos_loc=pos_loc,
                      read_starts=starts32, read_lengths=lengths32,

@@ -322,10 +322,13 @@ struct MtTable {
 MtTable* mt_parse_table(const char* path, int32_t ncols) {
   std::vector<char> buf = read_whole_file(path);
   if (buf.empty() && !g_error.empty()) return nullptr;
+  // strtod needs a terminator: a file ending in a numeric token at its very
+  // last byte must not let strtod scan past the allocation.
+  buf.push_back('\0');
   MtTable* t = new MtTable();
   t->ncols = ncols;
   const char* p = buf.data();
-  const char* end = p + buf.size();
+  const char* end = p + buf.size() - 1;
   while (p < end) {
     const char* nl = (const char*)memchr(p, '\n', end - p);
     if (!nl) nl = end;
@@ -371,6 +374,7 @@ int64_t mt_format_fasta(const uint8_t* codes, const int64_t* starts,
                         const int32_t* lengths, int64_t n,
                         const char* names_blob, int32_t width, char* out,
                         int64_t cap) {
+  if (width <= 0) width = 1;  // the loop below would never advance on <= 0
   int64_t need = 0;
   int64_t total = 0;
   for (int64_t i = 0; i < n; ++i) total += lengths[i];
@@ -398,7 +402,8 @@ int64_t mt_format_fasta(const uint8_t* codes, const int64_t* starts,
   return o - out;
 }
 
-// ASCII -> 2-bit codes (bulk); non-ACGT -> 4
+// ASCII -> 2-bit codes (bulk); non-ACGT -> 0 (constants.INVALID_BASE_CODE,
+// i.e. 'A' — N bases deliberately collapse to A, matching the Python LUT)
 void mt_encode_bases(const uint8_t* ascii, int64_t n, uint8_t* out) {
   for (int64_t i = 0; i < n; ++i) out[i] = kLut.m[ascii[i]];
 }

@@ -411,8 +411,12 @@ def _run_pooled_insertions_dev(template, counts, coverage, ins_emit,
     b100 = int(round(_INS_BIAS * 100))
     sat = I >= m * (run_len + 1)
     I_c = jnp.minimum(I, m * (run_len + 1))
-    k_pool = jnp.where(sat, run_len,
-                       (100 * I_c + b100 * m) // (100 * m))
+    # floor((100*I + b*m)/(100*m)) == I//m + (100*(I%m) >= (100-b)*m):
+    # exact decomposition that never forms 100*I_c, which can pass 2^31 on
+    # deep long-run piles while the host computes in unbounded Python ints
+    k_pool = jnp.where(
+        sat, run_len,
+        I_c // m + (100 * (I_c % m) >= (100 - b100) * m).astype(jnp.int32))
     from ..ops.consensus import _POOL_MIN_COV_INS
     k_extra = jnp.where(m >= _POOL_MIN_COV_INS,
                         jnp.maximum(k_pool - E, 0), 0)
@@ -463,9 +467,14 @@ def _run_pooled_deletions_dev(template, counts, coverage, tlen,
     b100 = int(round(_DEL_BIAS * 100))
     sat = G >= m * (run_len + 1)
     G_c = jnp.minimum(G, m * (run_len + 1))
-    k_pool = jnp.where(sat, run_len,
-                       jnp.minimum((100 * G_c + b100 * m) // (100 * m),
-                                   run_len)).astype(jnp.int32)
+    # exact overflow-free decomposition (see the insertion rule above):
+    # floor((100*G + b*m)/(100*m)) == G//m + (100*(G%m) >= (100-b)*m)
+    k_pool = jnp.where(
+        sat, run_len,
+        jnp.minimum(
+            G_c // m + (100 * (G_c % m)
+                        >= (100 - b100) * m).astype(jnp.int32),
+            run_len)).astype(jnp.int32)
     from ..ops.consensus import _POOL_MIN_COV
     k_extra = jnp.where(
         m >= _POOL_MIN_COV,

@@ -54,6 +54,9 @@ class PwOptions:
     align_band: int = C.ALIGN_BAND
     min_block_score: int = C.MIN_BLOCK_SCORE
     print_ext: int = 0                 # -g: 1 = two extra seed columns
+    #: absolute k-mer occurrence cutoff for the index (reference -k role;
+    #: meryl-derived in the assembly driver).  None = multiple-of-mean rule.
+    index_cutoff: Optional[int] = None
 
 
 @dataclass
@@ -425,7 +428,8 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
             vol_db = db.subset(range(va, vb))
             with met.stage("index_build", volume=vi):
                 idx = build_index(vol_db.codes, vol_db.starts,
-                                  vol_db.lengths, k=opts.kmer_size)
+                                  vol_db.lengths, k=opts.kmer_size,
+                                  freq_cutoff_abs=opts.index_cutoff)
                 dev = idx.as_device_arrays()
                 if _use_fused(opts):
                     dev["vol_codes"] = upload_codes(vol_db.codes)

@@ -27,6 +27,13 @@ class ReadTruth:
     strand: int  # 0 = forward, 1 = reverse-complement
 
 
+#: per-technology error-profile presets (sub, ins, del fractions of the
+#: total error rate).  PacBio CLR is insertion-heavy; nanopore splits more
+#: evenly with a deletion lean (homopolymer truncation).
+PROFILE_PACBIO: Tuple[float, float, float] = (0.2, 0.55, 0.25)
+PROFILE_NANOPORE: Tuple[float, float, float] = (0.4, 0.2, 0.4)
+
+
 def random_genome(n: int, seed: int = 0) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.integers(0, 4, size=n, dtype=np.uint8)
@@ -61,8 +68,7 @@ def simulate_reads(
     min_len: int = 1000,
     seed: int = 0,
     error_rate: float = 0.12,
-    # PacBio-like split of total error: mostly insertions. TODO(ref): tune per -x preset.
-    profile: Tuple[float, float, float] = (0.2, 0.55, 0.25),  # sub, ins, del fractions
+    profile: Tuple[float, float, float] = PROFILE_PACBIO,  # sub, ins, del
     circular: bool = False,
 ) -> Tuple[PackedDB, List[ReadTruth]]:
     """Sample noisy reads from `genome` at uniform loci, both strands."""
