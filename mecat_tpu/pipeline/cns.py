@@ -54,6 +54,15 @@ class CnsOptions:
     extend_batch: int = 128
     min_identity: float = C.MIN_OVERLAP_IDENTITY
 
+    @classmethod
+    def for_tech(cls, tech: int, **overrides) -> "CnsOptions":
+        """Preset-resolved options: any field not in ``overrides`` (or passed
+        as None) takes the per-technology default (reference ConsensusOptions
+        -x behaviour, constants.CNS_TECH_PRESETS)."""
+        base = dict(C.CNS_TECH_PRESETS[tech], tech=tech)
+        base.update({k: v for k, v in overrides.items() if v is not None})
+        return cls(**base)
+
 
 @dataclass
 class CnsStats:
@@ -286,53 +295,48 @@ def correct_batch(db: PackedDB, templates: List[int],
     return out
 
 
-def correct_batch_device(db: PackedDB, templates: List[int],
-                         by_template: Dict[int, List[Support]],
-                         opts: CnsOptions, stats: CnsStats,
-                         dev_vol=None):
-    """Device-resident variant of :func:`correct_batch` (a GENERATOR).
+def plan_table_slices(db: PackedDB, templates: List[int],
+                      cap: Optional[int] = None) -> List[List[int]]:
+    """Split a template batch into device-table-sized sub-batches.
 
-    Same alignments, but tags are tallied and voted ON DEVICE
-    (ops/consensus_device.py) — the host path's per-batch op-tape pull
-    (~80 MB over this system's ~8 MB/s device tunnel) was 30x the device
-    alignment time.  The volume uploads once (``dev_vol`` caches it across
-    partitions); per chunk only pair ids/seeds go up and nothing comes back
-    until the final int8 emit/coverage arrays.  Corrected reads are YIELDED
-    per table slice so callers stream them to disk — an interrupted run
-    keeps everything finished so far (the list form lost an hour-long run
-    to a timeout 64 templates before the end).
+    The device tag tables cost L_t * D1 * 5 * 4 bytes per template slot.
+    Templates are sorted by LENGTH and sliced greedily so every sub-batch
+    pads to its own L_t bucket AND stays under the table-bytes cap — one
+    very long template must not dictate every sub-batch's shape, and the
+    CLI's partition size (-p) never dictates HBM footprint.
     """
-    from .. import constants as C
-    from ..ops.consensus_device import (accumulate_tags, call_tables,
-                                        split_called)
-    import jax
-    import jax.numpy as jnp
-
-    # the device tag tables cost L_t * D1 * 5 * 4 bytes per template slot.
-    # Sort templates by LENGTH and slice greedily so every sub-batch pads to
-    # its own L_t bucket AND stays under the table-bytes cap — one very long
-    # template must not dictate every sub-batch's shape, and the CLI's
-    # partition size (-p, default 100k) never dictates HBM footprint.
-    cap = int(os.environ.get("MECAT_TPU_CNS_TABLE_BYTES", 1 << 29))
+    if cap is None:
+        cap = int(os.environ.get("MECAT_TPU_CNS_TABLE_BYTES", 1 << 29))
+    D1 = C.MAX_INS_DELTA + 1
     L_t_all = bucket_length(max(int(db.lengths[t]) for t in templates))
-    if len(templates) * L_t_all * 16 * 5 * 4 > cap:
-        by_len = sorted(templates, key=lambda t: int(db.lengths[t]))
-        a = 0
-        while a < len(by_len):
-            b = a + 1
-            while b < len(by_len):
-                L_t_b = bucket_length(int(db.lengths[by_len[b]]))
-                if (b + 1 - a) * L_t_b * 16 * 5 * 4 > cap:
-                    break
-                b += 1
-            yield from correct_batch_device(db, by_len[a:b], by_template,
-                                            opts, stats, dev_vol)
-            log.info("cns: table slice %d-%d/%d done (%d corrected)",
-                     a, b, len(by_len), stats.corrected_reads)
-            a = b
-        return
+    if len(templates) * L_t_all * D1 * 5 * 4 <= cap:
+        return [list(templates)]
+    by_len = sorted(templates, key=lambda t: int(db.lengths[t]))
+    out = []
+    a = 0
+    while a < len(by_len):
+        b = a + 1
+        while b < len(by_len):
+            L_t_b = bucket_length(int(db.lengths[by_len[b]]))
+            if (b + 1 - a) * L_t_b * D1 * 5 * 4 > cap:
+                break
+            b += 1
+        out.append(by_len[a:b])
+        a = b
+    return out
 
-    # vectorised pair build: [N, 5] rows (template, support, dir, spos, tpos)
+
+def plan_pairs(db: PackedDB, templates: List[int], by_template,
+               opts: CnsOptions, L_t: int, msegs: int):
+    """Vectorised (template, support) pair metadata for one table slice.
+
+    Returns None when no template has supports; otherwise a dict of arrays
+    sorted by per-pair segment budget (see the budget derivation below) with
+    keys: pairs [N,5] (t, s, dir, spos, tpos), qlen, tlen, qs, ts (int32),
+    segs_r, segs_l (int64 per-direction budgets), slot (int32 row in the
+    slice's tag table).
+    """
+    S, W = opts.align_segment, opts.align_band
     sup_list, t_rep = [], []
     for t in templates:
         s = _capped_supports(by_template, t, opts.max_supports)
@@ -340,38 +344,10 @@ def correct_batch_device(db: PackedDB, templates: List[int],
             sup_list.append(np.asarray(s, dtype=np.int64).reshape(-1, 5))
             t_rep.append(np.full(len(s), t, dtype=np.int64))
     if not sup_list:
-        return
+        return None
     sups_a = np.concatenate(sup_list)
     pairs_a = np.column_stack([np.concatenate(t_rep), sups_a[:, :4]])
-    pairs = pairs_a  # len() used below
-
-    T = len(templates)
     slot_of = {t: i for i, t in enumerate(templates)}
-    L_t = bucket_length(max(int(db.lengths[t]) for t in templates))
-    # supports are seed-windowed inside the chunk: their shape is bounded by
-    # the template, not by the longest support read.  Bound by the DB-WIDE
-    # max read length (not the slice's) so L_s is a pure function of L_t —
-    # every distinct jit shape costs a 30-100 s remote compile here.
-    L_s = bucket_length(min(int(db.lengths.max()), 3 * L_t))
-    S, W = opts.align_segment, opts.align_band
-    # per-DIRECTION consumption is bounded by ~1.4x the template (the
-    # support window is 3x L_t only to cover asymmetric seeds); sizing the
-    # segment scan off L_s doubled the ops-path DP + traceback cost
-    msegs = max_segs_for(min(max(L_t, L_s), int(1.4 * L_t) + 2 * S), S)
-    P = opts.extend_batch
-    D1 = C.MAX_INS_DELTA + 1
-
-    if dev_vol is None:
-        dev_vol = device_volume(db)
-    vol_cat, starts_d, lengths_d, n_bases = dev_vol
-
-    counts = jnp.zeros((T, L_t, D1, 5), jnp.int32)
-    cov_diff = jnp.zeros((T, L_t + 1), jnp.int32)
-    has = jnp.zeros(T, dtype=bool)
-    tmpl_ids = jnp.asarray(np.asarray(templates, dtype=np.int32))
-    tmpl_mat = _gather_rows_dev(vol_cat, starts_d, lengths_d, tmpl_ids, L_t)
-    tmpl_len = np.minimum(db.lengths[np.asarray(templates)],
-                          L_t).astype(np.int32)
 
     # vectorised pair metadata (the per-pair Python loop was host-bound)
     all_qlen = db.lengths[pairs_a[:, 1]].astype(np.int32)  # FULL lengths
@@ -395,31 +371,100 @@ def correct_batch_device(db: PackedDB, templates: List[int],
     segs_l = np.minimum(segs_l, msegs)
     order = np.argsort(segs_r + segs_l, kind="stable")
     pairs_a = pairs_a[order]
-    all_qlen, all_tlen = all_qlen[order], all_tlen[order]
-    all_qs, all_ts = all_qs[order], all_ts[order]
-    segs_r, segs_l = segs_r[order], segs_l[order]
-    all_slot = np.asarray([slot_of[t] for t in pairs_a[:, 0]], np.int32)
+    return dict(pairs=pairs_a,
+                qlen=all_qlen[order], tlen=all_tlen[order],
+                qs=all_qs[order], ts=all_ts[order],
+                segs_r=segs_r[order], segs_l=segs_l[order],
+                slot=np.asarray([slot_of[t] for t in pairs_a[:, 0]],
+                                np.int32))
 
-    # coarse ladder: every (msegs_r, msegs_l) combo is a separate remote
-    # compile (~30-100 s cold); powers of two bound the combo count while
-    # keeping the scan within 2x of the exact budget
-    def seg_bucket(n: int) -> int:
-        for b in (8, 16, 32, 64, 96):
-            if n <= b:
-                return min(b, msegs)
-        return msegs
 
-    for ofs in range(0, len(pairs), P):
+def seg_bucket(n: int, msegs: int) -> int:
+    """Coarse segment-budget ladder: every (msegs_r, msegs_l) combo is a
+    separate remote compile (~30-100 s cold); powers of two bound the combo
+    count while keeping the scan within 2x of the exact budget."""
+    for b in (8, 16, 32, 64, 96):
+        if n <= b:
+            return min(b, msegs)
+    return msegs
+
+
+def correct_batch_device(db: PackedDB, templates: List[int],
+                         by_template: Dict[int, List[Support]],
+                         opts: CnsOptions, stats: CnsStats,
+                         dev_vol=None):
+    """Device-resident variant of :func:`correct_batch` (a GENERATOR).
+
+    Same alignments, but tags are tallied and voted ON DEVICE
+    (ops/consensus_device.py) — the host path's per-batch op-tape pull
+    (~80 MB over this system's ~8 MB/s device tunnel) was 30x the device
+    alignment time.  The volume uploads once (``dev_vol`` caches it across
+    partitions); per chunk only pair ids/seeds go up and nothing comes back
+    until the final int8 emit/coverage arrays.  Corrected reads are YIELDED
+    per table slice so callers stream them to disk — an interrupted run
+    keeps everything finished so far (the list form lost an hour-long run
+    to a timeout 64 templates before the end).
+    """
+    from .. import constants as C
+    from ..ops.consensus_device import call_tables, split_called
+    import jax.numpy as jnp
+
+    slices = plan_table_slices(db, templates)
+    if len(slices) > 1:
+        done = 0
+        for sl in slices:
+            yield from correct_batch_device(db, sl, by_template,
+                                            opts, stats, dev_vol)
+            done += len(sl)
+            log.info("cns: table slice %d/%d done (%d corrected)",
+                     done, len(templates), stats.corrected_reads)
+        return
+    templates = slices[0]
+
+    T = len(templates)
+    L_t = bucket_length(max(int(db.lengths[t]) for t in templates))
+    # supports are seed-windowed inside the chunk: their shape is bounded by
+    # the template, not by the longest support read.  Bound by the DB-WIDE
+    # max read length (not the slice's) so L_s is a pure function of L_t —
+    # every distinct jit shape costs a 30-100 s remote compile here.
+    L_s = bucket_length(min(int(db.lengths.max()), 3 * L_t))
+    S, W = opts.align_segment, opts.align_band
+    # per-DIRECTION consumption is bounded by ~1.4x the template (the
+    # support window is 3x L_t only to cover asymmetric seeds); sizing the
+    # segment scan off L_s doubled the ops-path DP + traceback cost
+    msegs = max_segs_for(min(max(L_t, L_s), int(1.4 * L_t) + 2 * S), S)
+    P = opts.extend_batch
+    D1 = C.MAX_INS_DELTA + 1
+
+    plan = plan_pairs(db, templates, by_template, opts, L_t, msegs)
+    if plan is None:
+        return
+
+    if dev_vol is None:
+        dev_vol = device_volume(db)
+    vol_cat, starts_d, lengths_d, n_bases = dev_vol
+
+    counts = jnp.zeros((T, L_t, D1, 5), jnp.int32)
+    cov_diff = jnp.zeros((T, L_t + 1), jnp.int32)
+    has = jnp.zeros(T, dtype=bool)
+    tmpl_ids = jnp.asarray(np.asarray(templates, dtype=np.int32))
+    tmpl_mat = _gather_rows_dev(vol_cat, starts_d, lengths_d, tmpl_ids, L_t)
+    tmpl_len = np.minimum(db.lengths[np.asarray(templates)],
+                          L_t).astype(np.int32)
+
+    pairs_a = plan["pairs"]
+    for ofs in range(0, len(pairs_a), P):
         sl = slice(ofs, ofs + P)
         n = len(pairs_a[sl])
         real = np.zeros(P, dtype=bool)
         real[:n] = True
-        msegs_r = seg_bucket(int(segs_r[sl].max()))
-        msegs_l = seg_bucket(int(segs_l[sl].max()))
+        msegs_r = seg_bucket(int(plan["segs_r"][sl].max()), msegs)
+        msegs_l = seg_bucket(int(plan["segs_l"][sl].max()), msegs)
         s_ids, t_ids, qlen, tlen, qs, ts, t_slot, sdir, real_p = pad_to_batch(
             [pairs_a[sl, 1].astype(np.int32), pairs_a[sl, 0].astype(np.int32),
-             all_qlen[sl], all_tlen[sl], all_qs[sl], all_ts[sl],
-             all_slot[sl], pairs_a[sl, 2].astype(np.int32), real[:n]], P)
+             plan["qlen"][sl], plan["tlen"][sl], plan["qs"][sl],
+             plan["ts"][sl], plan["slot"][sl],
+             pairs_a[sl, 2].astype(np.int32), real[:n]], P)
         counts, cov_diff, has = _cns_chunk_device(
             counts, cov_diff, has, vol_cat, starts_d, lengths_d, n_bases,
             jnp.asarray(s_ids), jnp.asarray(t_ids), jnp.asarray(qlen),
@@ -497,11 +542,9 @@ def _gather_rows_dev(vol_cat, starts, lengths, ids, L: int):
     return jnp.where(col < jnp.minimum(lengths[ids], L)[:, None], rows, 0)
 
 
-def _cns_chunk_device(counts, cov_diff, has, vol_cat, starts, lengths,
-                      n_bases, s_ids, t_ids, qlen, tlen, qs, ts, t_slot,
-                      sdir, real, *, L_s, L_t, S, W, max_segs, max_segs_left,
-                      min_identity, min_align_size, min_mapping_ratio):
-    """One fully-device cns chunk: gather → align → filter → tags.
+def make_cns_chunk(*, L_s, L_t, S, W, max_segs, max_segs_left,
+                   min_identity, min_align_size, min_mapping_ratio):
+    """Build the pure device cns-chunk fn: gather → align → filter → tags.
 
     Supports are gathered as SEED-CENTRED WINDOWS of L_s (callers bound
     L_s ~ 3*L_t): the aligned span cannot exceed ~1.35x the template, so a
@@ -511,46 +554,65 @@ def _cns_chunk_device(counts, cov_diff, has, vol_cat, starts, lengths,
     the FULL support length (for the mapping-ratio filter); window
     coordinates are handled internally.  max_segs / max_segs_left budget
     the right/left extension scans per chunk (see correct_batch_device).
+
+    The returned function is pure (jit-able and shard_map-able: the
+    template-sharded distributed cns wraps it per mesh shard —
+    parallel/cns_dist.py).
     """
+    import jax
+    from ..ops.align import extend_pair_batch_with_ops
+    from ..ops.consensus_device import accumulate_tags
+    import jax.numpy as jnp
+
+    def chunk(counts, cov_diff, has, vol_cat, starts, lengths, n_bases,
+              s_ids, t_ids, qlen, tlen, qs, ts, t_slot, sdir, real):
+        full = lengths[s_ids].astype(jnp.int32)
+        qs_c = jnp.clip(qs, 0, jnp.maximum(full - 1, 0))
+        w0 = jnp.clip(qs_c - L_s // 2, 0, jnp.maximum(full - L_s, 0))
+        start = jnp.where(sdir == 0, starts[s_ids] + w0,
+                          2 * n_bases - starts[s_ids] - full + w0)
+        rows = jax.vmap(
+            lambda o: jax.lax.dynamic_slice(vol_cat, (o,), (L_s,)))(
+            start)
+        w_len = jnp.minimum(full - w0, L_s).astype(jnp.int32)
+        col = jnp.arange(L_s, dtype=jnp.int32)[None, :]
+        q = jnp.where(col < w_len[:, None], rows, 0)
+        qs_w = (qs_c - w0).astype(jnp.int32)
+        t = _gather_rows_dev(vol_cat, starts, lengths, t_ids, L_t)
+        pa, right_t, left_t = extend_pair_batch_with_ops(
+            q, t, w_len, tlen, qs_w, ts, S=S, W=W, max_segs=max_segs,
+            max_segs_left=max_segs_left)
+        # mapping ratio is against the FULL support length
+        ratio = (pa.qend - pa.qbeg) / jnp.maximum(1, qlen)
+        keep = (real & (pa.identity >= min_identity)
+                & ((pa.tend - pa.tbeg) >= min_align_size)
+                & (ratio >= min_mapping_ratio))
+        has2 = has.at[t_slot].max(keep)
+        c2, v2 = accumulate_tags(counts, cov_diff, right_t, left_t,
+                                 qs_w, ts, q, w_len, tlen, t_slot, keep,
+                                 pa.tbeg, pa.tend, L_t=L_t)
+        return c2, v2, has2
+
+    return chunk
+
+
+def _cns_chunk_device(counts, cov_diff, has, vol_cat, starts, lengths,
+                      n_bases, s_ids, t_ids, qlen, tlen, qs, ts, t_slot,
+                      sdir, real, *, L_s, L_t, S, W, max_segs, max_segs_left,
+                      min_identity, min_align_size, min_mapping_ratio):
+    """Jitted single-device wrapper of :func:`make_cns_chunk` (cached per
+    shape/filter key; counts/cov_diff/has donated across chunks)."""
     import jax
 
     key = (L_s, L_t, S, W, max_segs, max_segs_left, float(min_identity),
            int(min_align_size), float(min_mapping_ratio))
     fn = _CNS_CHUNK_CACHE.get(key)
     if fn is None:
-        from ..ops.align import extend_pair_batch_with_ops
-        from ..ops.consensus_device import accumulate_tags
-        import jax.numpy as jnp
-
-        def chunk(counts, cov_diff, has, vol_cat, starts, lengths, n_bases,
-                  s_ids, t_ids, qlen, tlen, qs, ts, t_slot, sdir, real):
-            full = lengths[s_ids].astype(jnp.int32)
-            qs_c = jnp.clip(qs, 0, jnp.maximum(full - 1, 0))
-            w0 = jnp.clip(qs_c - L_s // 2, 0, jnp.maximum(full - L_s, 0))
-            start = jnp.where(sdir == 0, starts[s_ids] + w0,
-                              2 * n_bases - starts[s_ids] - full + w0)
-            rows = jax.vmap(
-                lambda o: jax.lax.dynamic_slice(vol_cat, (o,), (L_s,)))(
-                start)
-            w_len = jnp.minimum(full - w0, L_s).astype(jnp.int32)
-            col = jnp.arange(L_s, dtype=jnp.int32)[None, :]
-            q = jnp.where(col < w_len[:, None], rows, 0)
-            qs_w = (qs_c - w0).astype(jnp.int32)
-            t = _gather_rows_dev(vol_cat, starts, lengths, t_ids, L_t)
-            pa, right_t, left_t = extend_pair_batch_with_ops(
-                q, t, w_len, tlen, qs_w, ts, S=S, W=W, max_segs=max_segs,
-                max_segs_left=max_segs_left)
-            # mapping ratio is against the FULL support length
-            ratio = (pa.qend - pa.qbeg) / jnp.maximum(1, qlen)
-            keep = (real & (pa.identity >= min_identity)
-                    & ((pa.tend - pa.tbeg) >= min_align_size)
-                    & (ratio >= min_mapping_ratio))
-            has2 = has.at[t_slot].max(keep)
-            c2, v2 = accumulate_tags(counts, cov_diff, right_t, left_t,
-                                     qs_w, ts, q, w_len, tlen, t_slot, keep,
-                                     pa.tbeg, pa.tend, L_t=L_t)
-            return c2, v2, has2
-
+        chunk = make_cns_chunk(
+            L_s=L_s, L_t=L_t, S=S, W=W, max_segs=max_segs,
+            max_segs_left=max_segs_left, min_identity=min_identity,
+            min_align_size=min_align_size,
+            min_mapping_ratio=min_mapping_ratio)
         fn = jax.jit(chunk, donate_argnums=(0, 1, 2))
         _CNS_CHUNK_CACHE[key] = fn
     return fn(counts, cov_diff, has, vol_cat, starts, lengths,
