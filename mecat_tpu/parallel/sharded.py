@@ -176,6 +176,135 @@ def sharded_overlap_step(
     return jax.jit(mapped)
 
 
+def sharded_probe_step(
+    mesh: Mesh,
+    *,
+    k: int = C.KMER_SIZE,
+    stride: int = C.KMER_SCAN_STRIDE,
+    max_occ: int = C.MAX_OCC_PER_KMER,
+    num_candidates: int = 16,
+    diag_bin: int = C.DDF_DIAG_BIN,
+    L_target: int = 2048,
+    S: int = C.ALIGN_SEGMENT,
+    W: int = C.ALIGN_BAND,
+    min_block_score: int = C.MIN_BLOCK_SCORE,
+):
+    """Two-phase sharded overlap, phase 1: scan + exchange + 1-seg probe.
+
+    Mesh restatement of pipeline/device_step.probe_step: each hash shard
+    probes its code range for the whole local query batch, hits ride an
+    all_to_all over 'hash', every device scores + probe-extends its
+    1/(data*hash) query slice with seed-centred target windows.  Outputs are
+    FLAT [B*N] arrays sharded over ('data', 'hash'):
+    (target, score, qseed, tseed, survive).  survive applies the same
+    prune-only filter as the single-chip step, so phase-2 extension of the
+    survivors reproduces the fused path's overlaps exactly.
+    """
+    from ..pipeline.device_step import _target_windows
+
+    n_hash = mesh.shape["hash"]
+    N = num_candidates
+
+    def step(bases, lengths, self_id, vol_codes, offsets_sh, rid_sh,
+             loc_sh, code_lo, read_starts, read_lengths, cutoff):
+        Bl = bases.shape[0]
+        Bh = Bl // n_hash
+        offsets_l = offsets_sh[0]
+        lo = code_lo[0]
+        spp = offsets_l.shape[0] - 1
+        rid, dbin, hqpos, toff, hvalid = ddf.probe_hits(
+            bases, lengths, offsets_l, rid_sh[0], loc_sh[0],
+            cutoff, self_id, k=k, stride=stride, max_occ=max_occ,
+            diag_bin=diag_bin, code_lo=lo, code_hi=lo + spp)
+
+        def exchange(x):
+            return jax.lax.all_to_all(x, "hash", split_axis=0, concat_axis=1,
+                                      tiled=True)
+        rid, dbin, hqpos, toff = (
+            exchange(rid), exchange(dbin), exchange(hqpos), exchange(toff))
+        hvalid = exchange(hvalid.astype(jnp.int8)) != 0
+        cand = ddf.score_hits(rid, dbin, hqpos, toff, hvalid,
+                              num_candidates=N)
+
+        h = jax.lax.axis_index("hash")
+        q_sub = jax.lax.dynamic_slice_in_dim(bases, h * Bh, Bh, axis=0)
+        qlen_sub = jax.lax.dynamic_slice_in_dim(lengths, h * Bh, Bh, axis=0)
+        tgt = jnp.clip(cand.target, 0, read_starts.shape[0] - 1).reshape(-1)
+        t, t_len_w, ts_local, _ = _target_windows(
+            vol_codes, read_starts, read_lengths, tgt,
+            cand.tseed.reshape(-1), L_target)
+        probe = extend_pair_batch(
+            jnp.repeat(q_sub, N, axis=0), t, jnp.repeat(qlen_sub, N),
+            t_len_w, jnp.maximum(cand.qseed.reshape(-1), 0), ts_local,
+            S=S, W=W, max_segs=1)
+        short = probe.align_len < 96          # too little evidence: keep
+        looks_ok = probe.identity >= 55.0
+        survive = (cand.valid.reshape(-1)
+                   & (cand.score.reshape(-1) >= min_block_score)
+                   & (short | looks_ok))
+        return (cand.target.reshape(-1), cand.score.reshape(-1),
+                cand.qseed.reshape(-1), cand.tseed.reshape(-1), survive)
+
+    mapped = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"),
+                  P(),
+                  P("hash"), P("hash"), P("hash"), P("hash"),
+                  P(), P(), P()),
+        out_specs=(P(("data", "hash")),) * 5,
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def sharded_extend_step(
+    mesh: Mesh,
+    *,
+    K: int,
+    N: int,
+    L_target: int = 2048,
+    S: int = C.ALIGN_SEGMENT,
+    W: int = C.ALIGN_BAND,
+    max_segs: int = 16,
+):
+    """Two-phase sharded overlap, phase 2: full extension of survivors.
+
+    Mesh restatement of pipeline/device_step.extend_selected: every device
+    extends K selected candidates of its own query slice (sel = local flat
+    indices into the device's [Bh*N] candidate block, padded with 0s).
+    Returns flat [n_dev*K] arrays sharded over ('data', 'hash'):
+    (identity, qbeg, qend, tbeg, tend, win0) with tbeg/tend WINDOW-LOCAL.
+    """
+    from ..pipeline.device_step import _target_windows
+
+    n_hash = mesh.shape["hash"]
+
+    def step(bases, lengths, vol_codes, read_starts, read_lengths,
+             tgt_flat, qseed_flat, tseed_flat, sel):
+        Bl = bases.shape[0]
+        Bh = Bl // n_hash
+        h = jax.lax.axis_index("hash")
+        rowi = sel // N + h * Bh           # row within the local data slice
+        tgt = jnp.clip(tgt_flat[sel], 0, read_starts.shape[0] - 1)
+        q = bases[rowi]
+        qlen = lengths[rowi]
+        t, t_len_w, ts_local, win0 = _target_windows(
+            vol_codes, read_starts, read_lengths, tgt, tseed_flat[sel],
+            L_target)
+        res = extend_pair_batch(
+            q, t, qlen, t_len_w, jnp.maximum(qseed_flat[sel], 0), ts_local,
+            S=S, W=W, max_segs=max_segs)
+        return res.identity, res.qbeg, res.qend, res.tbeg, res.tend, win0
+
+    mapped = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P("data"), P("data"), P(), P(), P(),
+                  P(("data", "hash")), P(("data", "hash")),
+                  P(("data", "hash")), P(("data", "hash"))),
+        out_specs=(P(("data", "hash")),) * 6,
+        check_vma=False)
+    return jax.jit(mapped)
+
+
 def place_sharded_inputs(mesh: Mesh, bases, lengths, self_id, vol_codes,
                          offsets_sh, rid_sh, loc_sh, code_lo, read_starts,
                          read_lengths, cutoff):

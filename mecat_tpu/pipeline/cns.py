@@ -404,22 +404,44 @@ def correct_batch_device(db: PackedDB, templates: List[int],
     per table slice so callers stream them to disk — an interrupted run
     keeps everything finished so far (the list form lost an hour-long run
     to a timeout 64 templates before the end).
-    """
-    from .. import constants as C
-    from ..ops.consensus_device import call_tables, split_called
-    import jax.numpy as jnp
 
+    Table slices run DEPTH-1 PIPELINED: slice k+1's pair planning and chunk
+    dispatches (all async under JAX) are queued before slice k's emit pull,
+    so the host-side plan/emit/split work of one slice hides under the
+    device alignment time of the next (same pattern as pipeline/pw.py's
+    dispatch/collect split; the emit pull rides the slow device tunnel and
+    was a serial per-slice cost).
+    """
+    if dev_vol is None:
+        dev_vol = device_volume(db)   # upload once, not once per slice
     slices = plan_table_slices(db, templates)
-    if len(slices) > 1:
-        done = 0
-        for sl in slices:
-            yield from correct_batch_device(db, sl, by_template,
-                                            opts, stats, dev_vol)
-            done += len(sl)
-            log.info("cns: table slice %d/%d done (%d corrected)",
-                     done, len(templates), stats.corrected_reads)
-        return
-    templates = slices[0]
+    pending = None
+    done = 0
+    for sl in slices:
+        nxt = _dispatch_slice_device(db, sl, by_template, opts, stats,
+                                     dev_vol)
+        if pending is not None:
+            yield from _collect_slice_device(db, pending, opts, stats)
+            done += 1
+            if len(slices) > 1:
+                log.info("cns: table slice %d/%d collected (%d corrected)",
+                         done, len(slices), stats.corrected_reads)
+        pending = nxt
+    if pending is not None:
+        yield from _collect_slice_device(db, pending, opts, stats)
+
+
+def _dispatch_slice_device(db: PackedDB, templates: List[int],
+                           by_template, opts: CnsOptions, stats: CnsStats,
+                           dev_vol):
+    """Plan + dispatch one table slice's device work (all calls async).
+
+    Returns (templates, emit_dev, cov_ok_dev, has_dev) — device arrays the
+    collector pulls later — or None when no template in the slice has
+    supports."""
+    from .. import constants as C
+    from ..ops.consensus_device import call_tables
+    import jax.numpy as jnp
 
     T = len(templates)
     L_t = bucket_length(max(int(db.lengths[t]) for t in templates))
@@ -438,7 +460,7 @@ def correct_batch_device(db: PackedDB, templates: List[int],
 
     plan = plan_pairs(db, templates, by_template, opts, L_t, msegs)
     if plan is None:
-        return
+        return None
 
     if dev_vol is None:
         dev_vol = device_volume(db)
@@ -480,12 +502,27 @@ def correct_batch_device(db: PackedDB, templates: List[int],
     emit, cov_ok = call_tables(counts, cov_diff, tmpl_mat,
                                jnp.asarray(tmpl_len), has,
                                jnp.int32(opts.min_coverage))
-    # pull only the delta slots that actually emitted anything: insertion
-    # runs longer than 1-2 are vanishingly rare, and the [T, L, 16] int8
-    # pull was the dominant per-slice transfer (prefix rule makes the
-    # truncation exact — dropped slots are all -1)
-    max_ins = int(jnp.max(jnp.sum((emit[:, :, 1:] >= 0).astype(jnp.int32),
-                                  axis=2)))
+    # squeeze the device-side transfer now but pull NOTHING yet: the int
+    # count of non-empty insertion slots is the collector's first (tiny)
+    # sync point
+    n_ins = jnp.max(jnp.sum((emit[:, :, 1:] >= 0).astype(jnp.int32), axis=2))
+    return templates, emit, cov_ok, has, n_ins
+
+
+def _collect_slice_device(db: PackedDB, pending, opts: CnsOptions,
+                          stats: CnsStats):
+    """Pull one dispatched slice's emit arrays and yield corrected segments.
+
+    Pulls only the delta slots that actually emitted anything: insertion
+    runs longer than 1-2 are vanishingly rare, and the [T, L, 16] int8 pull
+    was the dominant per-slice transfer (the prefix rule makes the
+    truncation exact — dropped slots are all -1)."""
+    import jax.numpy as jnp
+
+    from ..ops.consensus_device import split_called
+
+    templates, emit, cov_ok, has, n_ins = pending
+    max_ins = int(n_ins)
     emit = np.asarray(emit[:, :, :max_ins + 1].astype(jnp.int8))
     cov_ok = np.asarray(cov_ok)
     has_support = np.asarray(has)

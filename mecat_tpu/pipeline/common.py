@@ -7,7 +7,7 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 from .. import constants as C
-from ..io.packed_db import PackedDB, revcomp
+from ..io.packed_db import _REVCOMP, PackedDB
 from ..ops.align import Q_SENTINEL, T_SENTINEL
 
 
@@ -35,10 +35,13 @@ def oriented_batch(db: PackedDB, read_ids: Sequence[int], L: int
     tails itself).
     """
     fwd, lens = db.padded_batch(read_ids, pad_to=L)
-    rev = np.zeros_like(fwd)
-    for i in range(len(read_ids)):
-        n = int(lens[i])
-        rev[i, :n] = revcomp(fwd[i, :n])
+    # vectorised batched revcomp: rev[i, j] = comp(fwd[i, lens[i]-1-j]);
+    # the per-read Python loop measured as a real per-batch cost on this
+    # sandbox's slow host CPU (10-20x a workstation).
+    idx = lens[:, None].astype(np.int64) - 1 - np.arange(L, dtype=np.int64)
+    valid = idx >= 0
+    comp = _REVCOMP[np.take_along_axis(fwd, np.maximum(idx, 0), axis=1)]
+    rev = np.where(valid, comp, 0).astype(np.uint8)
     return fwd, rev, lens
 
 

@@ -217,6 +217,41 @@ def _bucket_k(n: int, minimum: int = 256) -> int:
     return p if n > 3 * p // 4 else 3 * p // 4
 
 
+def plan_fused_batches(db: PackedDB, qa: int, qb: int, vol_max: int,
+                       opts: PwOptions):
+    """Yield (qids, b_eff, L_query, L_target) fused-step batches.
+
+    Batches are LENGTH-SORTED so every batch pads to its own bucket (one
+    mega-read must not inflate all batches), with seed-centred target
+    windows (~3x query length) bounding the target shape.  The probe
+    flattens B*num_candidates rows of (L_q + L_t) bytes: the QUERY batch is
+    capped so long-read tail batches cannot compile a multi-GB program (HLO
+    temp OOM at ~5 GB with 32 kb reads, -n 100).
+
+    Shared by run_pw (fused path) and run_pw_dist so both partition queries
+    identically — a precondition for their record-exact agreement
+    (tests/test_dist.py).
+    """
+    import math as _math
+
+    order = np.argsort(db.lengths[qa:qb], kind="stable") + qa
+    cap = int(os.environ.get("MECAT_TPU_PW_FLAT_BYTES", 1 << 30))
+    mult = 128 // _math.gcd(opts.num_candidates, 128)
+    bs = 0
+    while bs < len(order):
+        tentative = order[bs:bs + opts.scan_batch]
+        L_q_b = bucket_length(int(db.lengths[tentative].max()))
+        L_t_b = bucket_length(min(vol_max, 3 * L_q_b))
+        per_read = opts.num_candidates * 2 * (L_q_b + L_t_b)
+        b_eff = max(mult, min(opts.scan_batch,
+                              cap // per_read // mult * mult))
+        qids = [int(q) for q in order[bs:bs + b_eff]]
+        bs += b_eff
+        L_q_b = bucket_length(int(db.lengths[qids].max()))
+        L_t_b = bucket_length(min(vol_max, 3 * L_q_b))
+        yield qids, b_eff, L_q_b, L_t_b
+
+
 def dispatch_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
                                query_ids: List[int], opts: PwOptions,
                                vol_db: PackedDB, L_query: int, L_target: int,
@@ -262,87 +297,65 @@ def dispatch_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
             L_target, max_segs_for(max(L_query, L_target), S), dev)
 
 
-def collect_query_batch_fused(pending, vol_base: int, vol_db: PackedDB,
-                              opts: PwOptions, stats: PwStats) -> str:
-    """Sync one dispatched batch: select survivors, extend, format M4.
+_M4_COL_NAMES = ("qid", "sid", "identity", "score", "qstrand", "qstart",
+                 "qend", "qsize", "sstrand", "sstart", "send", "ssize",
+                 "span", "qext", "sext")
 
-    Dedup (best total span per (qid, sid, strand)) and field assembly are
-    vectorised NumPy; serialization uses the native columnar writer.
+
+def new_m4_cols() -> dict:
+    """Empty columnar M4 accumulator (lists of np arrays per field)."""
+    return {k: [] for k in _M4_COL_NAMES}
+
+
+def append_m4_columns(cols: dict, opts: PwOptions, *, strand: int,
+                      vol_base: int, qids, qsize, tgt, tlens, ident, score,
+                      qbeg, qend, tbeg, tend, qseed, tseed) -> int:
+    """Filter one strand block by identity/size and append columnar fields.
+
+    All inputs are flat np arrays over the block's extended-candidate rows
+    (``tgt`` volume-local target ids, ``tlens`` the volume length table);
+    query coordinates are in SCANNED orientation and get normalised to the
+    forward strand here (reference M4 contract: qstrand always 0).  tbeg/tend
+    must already be globalised to target-read coordinates.  Returns the
+    number of rows kept.  Shared by the single-chip fused collector and the
+    distributed driver so their emit semantics are identical by construction.
     """
-    import jax.numpy as jnp
+    keep = ((ident >= opts.min_identity)
+            & (np.minimum(qend - qbeg, tend - tbeg) >= opts.min_align_size))
+    if not keep.any():
+        return 0
+    kk = np.nonzero(keep)[0]
+    qsize = qsize[kk].astype(np.int64)
+    qbeg, qend, tbeg, tend = qbeg[kk], qend[kk], tbeg[kk], tend[kk]
+    cols["qid"].append(qids[kk].astype(np.int64) + 1)
+    cols["sid"].append(vol_base + tgt[kk].astype(np.int64) + 1)
+    cols["identity"].append(ident[kk])
+    cols["score"].append(score[kk])
+    cols["qstrand"].append(np.zeros(len(kk), np.int32))
+    cols["qstart"].append(np.where(strand == 0, qbeg, qsize - qend))
+    cols["qend"].append(np.where(strand == 0, qend, qsize - qbeg))
+    cols["qsize"].append(qsize)
+    cols["sstrand"].append(np.full(len(kk), strand, np.int32))
+    cols["sstart"].append(tbeg)
+    cols["send"].append(tend)
+    cols["ssize"].append(tlens[tgt[kk]].astype(np.int64))
+    cols["span"].append((qend - qbeg) + (tend - tbeg))
+    cols["qext"].append(qseed[kk])
+    cols["sext"].append(tseed[kk])
+    return len(kk)
 
-    from .device_step import extend_selected
 
-    outs, qids, lens, L_target, msegs, dev = pending
-    n = len(qids)
-    N = opts.num_candidates
-    S, W = opts.align_segment, opts.align_band
-    cols = {k: [] for k in ("qid", "sid", "identity", "score", "qstrand",
-                            "qstart", "qend", "qsize", "sstrand", "sstart",
-                            "send", "ssize", "span", "qext", "sext")}
-    # phase 2 dispatch per strand (survive pull is the only sync: ~B*N bits)
-    phase2 = {}
-    for strand, (cand, survive, bases_dev, lens_dev) in outs.items():
-        surv = np.asarray(survive).copy()
-        surv[n:, :] = False
-        sel_np = np.flatnonzero(surv.reshape(-1)).astype(np.int32)
-        if len(sel_np) == 0:
-            continue
-        K = _bucket_k(len(sel_np))
-        sel_pad = np.zeros(K, np.int32)
-        sel_pad[:len(sel_np)] = sel_np
-        res, win0 = extend_selected(
-            bases_dev, lens_dev, dev["vol_codes"],
-            dev["read_starts"], dev["read_lengths"],
-            cand.target.reshape(-1).astype(jnp.int32),
-            cand.qseed.reshape(-1), cand.tseed.reshape(-1),
-            jnp.asarray(sel_pad), K=K, N=N, L_target=L_target,
-            S=S, W=W, max_segs=msegs)
-        phase2[strand] = (cand, sel_np, sel_pad, res, win0)
-        stats.candidates += len(sel_np)
-        stats.extended += len(sel_np)
+def finalize_m4_text(cols: dict, opts: PwOptions, stats: PwStats) -> str:
+    """Dedup (best total span per (qid, sid, strand)), sort, serialize.
 
-    for strand, (cand, sel_np, sel_pad, res, win0) in phase2.items():
-        m = len(sel_np)
-        ident = np.asarray(res.identity)[:m]
-        qbeg = np.asarray(res.qbeg)[:m]
-        qend = np.asarray(res.qend)[:m]
-        w0 = np.asarray(win0)[:m]
-        tbeg = np.asarray(res.tbeg)[:m] + w0  # window-local -> read coords
-        tend = np.asarray(res.tend)[:m] + w0
-        r = sel_np // N
-        tgt = np.asarray(cand.target).reshape(-1)[sel_np]
-        score = np.asarray(cand.score).reshape(-1)[sel_np]
-        qsize = lens[r].astype(np.int64)
-        keep = ((ident >= opts.min_identity)
-                & (np.minimum(qend - qbeg, tend - tbeg)
-                   >= opts.min_align_size))
-        if not keep.any():
-            continue
-        kk = np.nonzero(keep)[0]
-        qsize = qsize[kk]
-        qbeg, qend, tbeg, tend = qbeg[kk], qend[kk], tbeg[kk], tend[kk]
-        cols["qid"].append(qids[r[kk]] + 1)
-        cols["sid"].append(vol_base + tgt[kk].astype(np.int64) + 1)
-        cols["identity"].append(ident[kk])
-        cols["score"].append(score[kk])
-        cols["qstrand"].append(np.zeros(len(kk), np.int32))
-        qs = np.where(strand == 0, qbeg, qsize - qend)
-        qe = np.where(strand == 0, qend, qsize - qbeg)
-        cols["qstart"].append(qs)
-        cols["qend"].append(qe)
-        cols["qsize"].append(qsize)
-        cols["sstrand"].append(np.full(len(kk), strand, np.int32))
-        cols["sstart"].append(tbeg)
-        cols["send"].append(tend)
-        cols["ssize"].append(vol_db.lengths[tgt[kk]].astype(np.int64))
-        cols["span"].append((qend - qbeg) + (tend - tbeg))
-        cols["qext"].append(np.asarray(cand.qseed).reshape(-1)[sel_np][kk])
-        cols["sext"].append(np.asarray(cand.tseed).reshape(-1)[sel_np][kk])
+    Output rows are sorted by (qid, sid, sstrand); within a key the longest
+    span wins — the canonical tie-break that makes single-chip and
+    distributed runs record-identical (tests/test_dist.py).  Serialization
+    uses the native columnar writer when available.
+    """
     if not cols["qid"]:
         return ""
     a = {k: np.concatenate(v) for k, v in cols.items()}
-    # best span per (qid, sid, strand); output sorted by that key
     order = np.lexsort((-a["span"], a["sstrand"], a["sid"], a["qid"]))
     a = {k: v[order] for k, v in a.items()}
     key = np.stack([a["qid"], a["sid"], a["sstrand"]], axis=1)
@@ -368,6 +381,64 @@ def collect_query_batch_fused(pending, vol_base: int, vol_db: PackedDB,
     return "".join(r.format() + "\n" for r in recs)
 
 
+def collect_query_batch_fused(pending, vol_base: int, vol_db: PackedDB,
+                              opts: PwOptions, stats: PwStats) -> str:
+    """Sync one dispatched batch: select survivors, extend, format M4.
+
+    Dedup (best total span per (qid, sid, strand)) and field assembly are
+    vectorised NumPy (append_m4_columns / finalize_m4_text); serialization
+    uses the native columnar writer.
+    """
+    import jax.numpy as jnp
+
+    from .device_step import extend_selected
+
+    outs, qids, lens, L_target, msegs, dev = pending
+    n = len(qids)
+    N = opts.num_candidates
+    S, W = opts.align_segment, opts.align_band
+    cols = new_m4_cols()
+    # phase 2 dispatch per strand (survive pull is the only sync: ~B*N bits)
+    phase2 = {}
+    for strand, (cand, survive, bases_dev, lens_dev) in outs.items():
+        surv = np.asarray(survive).copy()
+        surv[n:, :] = False
+        sel_np = np.flatnonzero(surv.reshape(-1)).astype(np.int32)
+        if len(sel_np) == 0:
+            continue
+        K = _bucket_k(len(sel_np))
+        sel_pad = np.zeros(K, np.int32)
+        sel_pad[:len(sel_np)] = sel_np
+        res, win0 = extend_selected(
+            bases_dev, lens_dev, dev["vol_codes"],
+            dev["read_starts"], dev["read_lengths"],
+            cand.target.reshape(-1).astype(jnp.int32),
+            cand.qseed.reshape(-1), cand.tseed.reshape(-1),
+            jnp.asarray(sel_pad), K=K, N=N, L_target=L_target,
+            S=S, W=W, max_segs=msegs)
+        phase2[strand] = (cand, sel_np, res, win0)
+        stats.candidates += len(sel_np)
+        stats.extended += len(sel_np)
+
+    for strand, (cand, sel_np, res, win0) in phase2.items():
+        m = len(sel_np)
+        w0 = np.asarray(win0)[:m]
+        r = sel_np // N
+        append_m4_columns(
+            cols, opts, strand=strand, vol_base=vol_base,
+            qids=qids[r], qsize=lens[r],
+            tgt=np.asarray(cand.target).reshape(-1)[sel_np],
+            tlens=vol_db.lengths,
+            ident=np.asarray(res.identity)[:m],
+            score=np.asarray(cand.score).reshape(-1)[sel_np],
+            qbeg=np.asarray(res.qbeg)[:m], qend=np.asarray(res.qend)[:m],
+            tbeg=np.asarray(res.tbeg)[:m] + w0,
+            tend=np.asarray(res.tend)[:m] + w0,
+            qseed=np.asarray(cand.qseed).reshape(-1)[sel_np],
+            tseed=np.asarray(cand.tseed).reshape(-1)[sel_np])
+    return finalize_m4_text(cols, opts, stats)
+
+
 def process_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
                               query_ids: List[int], opts: PwOptions,
                               vol_db: PackedDB, stats: PwStats,
@@ -389,6 +460,8 @@ def process_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
 def _use_fused(opts: PwOptions) -> bool:
     import jax
 
+    if os.environ.get("MECAT_TPU_FORCE_FUSED") == "1" and opts.task == 1:
+        return True  # tests exercise the fused path on the CPU backend
     return (os.environ.get("MECAT_TPU_HOST_PW") != "1"
             and opts.task == 1 and jax.default_backend() == "tpu")
 
@@ -441,40 +514,12 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                 with met.stage("volume_pair", vi=vi, vj=vj), \
                         open(shard + ".tmp", "w") as fh:
                     if _use_fused(opts):
-                        # batches are LENGTH-SORTED so every batch pads to
-                        # its own bucket (one mega-read must not inflate
-                        # all batches), with seed-centred target windows
-                        # (~3x query length) bounding the target shape;
                         # depth-1 pipeline: dispatch batch k+1 (async JAX)
                         # before collecting batch k
-                        order = (np.argsort(db.lengths[qa:qb],
-                                            kind="stable") + qa)
                         vol_max = int(vol_db.lengths.max())
-                        # the probe flattens B*num_candidates rows of
-                        # (L_q + L_t) bytes: cap the QUERY batch so long-read
-                        # tail batches cannot compile a multi-GB program
-                        # (HLO temp OOM at ~5 GB with 32 kb reads, -n 100).
-                        import math as _math
-                        cap = int(os.environ.get("MECAT_TPU_PW_FLAT_BYTES",
-                                                 1 << 30))
-                        mult = 128 // _math.gcd(opts.num_candidates, 128)
                         pending = None
-                        bs = 0
-                        while bs < len(order):
-                            tentative = order[bs:bs + opts.scan_batch]
-                            L_q_b = bucket_length(
-                                int(db.lengths[tentative].max()))
-                            L_t_b = bucket_length(min(vol_max, 3 * L_q_b))
-                            per_read = (opts.num_candidates
-                                        * 2 * (L_q_b + L_t_b))
-                            b_eff = max(mult, min(
-                                opts.scan_batch,
-                                cap // per_read // mult * mult))
-                            qids = [int(q) for q in order[bs:bs + b_eff]]
-                            bs += b_eff
-                            L_q_b = bucket_length(
-                                int(db.lengths[qids].max()))
-                            L_t_b = bucket_length(min(vol_max, 3 * L_q_b))
+                        for qids, b_eff, L_q_b, L_t_b in plan_fused_batches(
+                                db, qa, qb, vol_max, opts):
                             nxt = dispatch_query_batch_fused(
                                 db, va, dev, idx.max_occ_cutoff, qids, opts,
                                 vol_db, L_q_b, L_t_b, batch_rows=b_eff)

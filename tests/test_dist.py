@@ -1,8 +1,10 @@
 """Distributed pw driver vs the single-device pipeline (virtual 8-dev mesh).
 
 BASELINE config-5 shape: mesh-sharded overlap detection with per-host shard
-files and a deterministic merge, compared against run_pw for agreement
-(identical modulo candidate tie-breaking, as the M4 contract allows).
+files and a deterministic merge.  The distributed driver shares the batch
+plan, probe/extend kernels, survivor filter, and dedup tie-break with the
+single-chip fused path, so agreement is EXACT full-record equality (modulo
+file ordering), not a Jaccard gate.
 """
 import os
 
@@ -32,39 +34,33 @@ OPTS = dict(task=1, kmer_size=9, scan_stride=4, min_align_size=500,
             align_segment=128, align_band=64, min_block_score=2)
 
 
+def _records(path):
+    """Full M4 records as a sorted tuple list (order-independent compare)."""
+    return sorted(
+        (r.qid, r.sid, r.identity, r.score, r.qstrand, r.qstart, r.qend,
+         r.qsize, r.sstrand, r.sstart, r.send, r.ssize)
+        for r in read_m4(path))
+
+
 def _pairs(path):
     return {(r.qid, r.sid, r.sstrand) for r in read_m4(path)}
 
 
-def test_dist_pw_matches_single(sim):
+def test_dist_pw_matches_single_exactly(sim, monkeypatch):
     d, reads, db = sim
+    # the single-chip reference is the FUSED two-phase path (the TPU
+    # production path) — forced on the CPU backend for the test
+    monkeypatch.setenv("MECAT_TPU_FORCE_FUSED", "1")
     single_out = str(d / "single.m4")
     run_pw(reads, single_out, str(d / "wrk_s"), PwOptions(**OPTS), db=db)
+    monkeypatch.delenv("MECAT_TPU_FORCE_FUSED")
     dist_out = str(d / "dist.m4")
     stats = run_pw_dist(reads, dist_out, str(d / "wrk_d"),
                         PwOptions(**OPTS), n_data=4, n_hash=2, db=db)
     assert os.path.exists(dist_out)
-    s, m = _pairs(single_out), _pairs(dist_out)
+    s, m = _records(single_out), _records(dist_out)
     assert stats.overlaps == len(m) > 0
-    inter = len(s & m)
-    # the dist driver keeps top-n candidates PER STRAND (the fused sharded
-    # step scans one orientation per launch) vs the host pipeline's top-n
-    # across both strands: dist must recover ~everything single finds, and
-    # its extras are additional true candidates, not noise
-    assert inter / max(1, len(s)) >= 0.98, (len(s), len(m), inter)
-    assert inter / max(1, len(m)) >= 0.7
-    # coordinates agree for shared pairs
-    by_key_s = {(r.qid, r.sid, r.sstrand): r for r in read_m4(single_out)}
-    by_key_m = {(r.qid, r.sid, r.sstrand): r for r in read_m4(dist_out)}
-    close = 0
-    shared = list(s & m)
-    for k in shared:
-        a, b = by_key_s[k], by_key_m[k]
-        if (abs(a.qstart - b.qstart) <= 64 and abs(a.qend - b.qend) <= 64
-                and abs(a.sstart - b.sstart) <= 64
-                and abs(a.send - b.send) <= 64):
-            close += 1
-    assert close / max(1, len(shared)) >= 0.9
+    assert s == m
 
 
 def test_dist_pw_shard_files(sim):
@@ -76,7 +72,7 @@ def test_dist_pw_shard_files(sim):
 def test_dist_pw_two_processes(sim):
     """REAL multi-controller run: 2 processes x 4 virtual CPU devices over a
     localhost coordinator; per-process addressable-shard emit; rank-0 merge.
-    Overlap pair set must match the in-process 8-device run."""
+    Output records must match the in-process 8-device run exactly."""
     import socket
     import subprocess
     import sys
@@ -102,10 +98,10 @@ def test_dist_pw_two_processes(sim):
     for w, (so, se) in zip(workers, outs):
         assert w.returncode == 0, se.decode()[-2000:]
 
-    mp = _pairs(str(d / "dist_mp.m4"))
+    mp = _records(str(d / "dist_mp.m4"))
     single_out = str(d / "single8.m4")
-    stats8 = run_pw_dist(reads, single_out, str(d / "wrk_d8"),
-                         PwOptions(**OPTS), n_data=4, n_hash=2, db=db)
-    s8 = _pairs(single_out)
+    run_pw_dist(reads, single_out, str(d / "wrk_d8"),
+                PwOptions(**OPTS), n_data=4, n_hash=2, db=db)
+    s8 = _records(single_out)
     assert len(mp) > 0
     assert mp == s8

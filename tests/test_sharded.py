@@ -36,6 +36,7 @@ def valid_set(out):
     r, c = np.nonzero(v)
     return {(int(r[i]),
              int(np.asarray(out.target)[r[i], c[i]]),
+             int(np.asarray(out.score)[r[i], c[i]]),
              int(np.asarray(out.qbeg)[r[i], c[i]]),
              int(np.asarray(out.qend)[r[i], c[i]]),
              int(np.asarray(out.tbeg)[r[i], c[i]]),
@@ -82,11 +83,11 @@ def test_sharded_matches_single_device(setup):
     assert np.asarray(sharded.valid).shape == np.asarray(single.valid).shape
     s_single = valid_set(single)
     s_sharded = valid_set(sharded)
-    # identical overlaps modulo top-k tie order: require near-total agreement
-    inter = len(s_single & s_sharded)
-    assert inter / max(1, len(s_single)) >= 0.95, (
-        len(s_single), len(s_sharded), inter)
-    assert inter / max(1, len(s_sharded)) >= 0.95
+    # EXACT equality: the 4-key canonical hit sort (ops/ddf.score_hits) makes
+    # candidate selection invariant to the hit layout, so the sharded step
+    # must reproduce the single-device overlaps bit-for-bit.
+    assert s_single == s_sharded
+    assert len(s_single) > 0
 
 
 def test_sharded_hash4(setup):
