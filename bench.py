@@ -23,6 +23,17 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+# --scaling / BENCH_SCALING=1: run the strong-scaling harness instead
+# (mecat_tpu/utils/scaling.py).  Needs a multi-device platform: with a
+# single real chip we fall back to a virtual 8-device CPU mesh, which must
+# be requested before the backend initialises.
+_SCALING = "--scaling" in sys.argv or os.environ.get("BENCH_SCALING") == "1"
+if _SCALING:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -153,4 +164,10 @@ def main():
 
 
 if __name__ == "__main__":
+    if _SCALING:
+        if len(jax.devices()) < 2:
+            jax.config.update("jax_platforms", "cpu")
+        from mecat_tpu.utils.scaling import main as scaling_main
+
+        sys.exit(scaling_main())
     main()

@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", dest="num_candidates", type=int, default=12)
     p.add_argument("-b", dest="num_extend", type=int, default=4,
                    help="candidate loci extended per strand")
+    p.add_argument("-m", dest="best_n", type=int, default=1,
+                   help="alignments reported per read (1 primary + m-1 "
+                        "secondaries)")
     p.add_argument("-a", dest="min_align_size", type=int,
                    default=C.DEFAULT_MIN_ALIGN_SIZE)
     p.add_argument("--min-identity", type=float, default=C.MIN_OVERLAP_IDENTITY)
@@ -49,6 +52,7 @@ def main(argv=None) -> int:
     opts = RefOptions(
         output_format="sam" if args.out_fmt == 1 else "m4",
         num_candidates=args.num_candidates, num_extend=args.num_extend,
+        best_n=args.best_n,
         min_align_size=args.min_align_size, min_identity=args.min_identity,
         kmer_size=args.kmer_size, scan_stride=args.scan_stride,
         scan_batch=args.scan_batch, extend_batch=args.extend_batch,

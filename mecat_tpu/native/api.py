@@ -91,6 +91,10 @@ class NativeLib:
         lib.mt_table_rows.argtypes = [ct.c_void_p]
         lib.mt_table_fill.argtypes = [ct.c_void_p, _c_f64p]
         lib.mt_table_free.argtypes = [ct.c_void_p]
+        lib.mt_partition_table.restype = ct.c_int64
+        lib.mt_partition_table.argtypes = [ct.c_char_p, ct.c_int32,
+                                           ct.c_int64, ct.c_int64,
+                                           ct.c_char_p]
 
         lib.mt_format_fasta.restype = ct.c_int64
         lib.mt_format_fasta.argtypes = [_c_u8p, _c_i64p, _c_i32p, ct.c_int64,
@@ -132,6 +136,20 @@ class NativeLib:
             return out
         finally:
             self._lib.mt_table_free(h)
+
+    def partition_table(self, path: str, ncols: int, part_size: int,
+                        n_parts: int, out_dir: str) -> int:
+        """Stream-partition a support table by template-id range.
+
+        Writes ``out_dir/part_<pid>.bin`` — raw float64 rows of (ncols + 1)
+        values, the extra column being the original row index (global
+        insertion order for score tie-breaks).  Peak memory is IO buffers,
+        never the file.  Returns the number of input rows."""
+        n = self._lib.mt_partition_table(path.encode(), ncols, part_size,
+                                         n_parts, out_dir.encode())
+        if n < 0:
+            raise ValueError(self._lib.mt_error().decode())
+        return int(n)
 
     # -- packing / batching ----------------------------------------------------
     def pack_2bit(self, codes: np.ndarray) -> np.ndarray:

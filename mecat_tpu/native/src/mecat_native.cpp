@@ -366,6 +366,90 @@ void mt_table_fill(MtTable* t, double* out) {
 void mt_table_free(MtTable* t) { delete t; }
 
 // ---------------------------------------------------------------------------
+// Streaming table partitioning by template-id range (the reference
+// overlaps_partition / partition_candidates role, SURVEY.md §3.2: spill
+// support rows to per-template-range files so consensus never holds the
+// whole input in RAM).  Rows are parsed ONE BUFFERED LINE at a time — peak
+// memory is the IO buffers, never the file — and appended, with the
+// original row index as an extra trailing column (the consensus tie-break
+// needs global insertion order), to out_dir/part_<pid>.bin for every
+// DISTINCT partition its two template sides (columns 0 and 1, 1-based read
+// ids) fall in.  Binary format: raw native-endian float64 rows of
+// (ncols + 1) values.  Returns rows processed, or -1 on error (mt_error()).
+// ---------------------------------------------------------------------------
+
+int64_t mt_partition_table(const char* path, int32_t ncols,
+                           int64_t part_size, int64_t n_parts,
+                           const char* out_dir) {
+  if (part_size <= 0 || n_parts <= 0 || ncols < 2) {
+    g_error = "bad partition parameters";
+    return -1;
+  }
+  FILE* in = fopen(path, "rb");
+  if (!in) { g_error = std::string("cannot open ") + path; return -1; }
+  std::vector<FILE*> outs((size_t)n_parts, nullptr);
+  auto out_for = [&](int64_t pid) -> FILE* {
+    if (pid < 0) pid = 0;
+    if (pid >= n_parts) pid = n_parts - 1;
+    if (!outs[(size_t)pid]) {
+      char buf[4096];
+      snprintf(buf, sizeof(buf), "%s/part_%lld.bin", out_dir,
+               (long long)pid);
+      outs[(size_t)pid] = fopen(buf, "wb");
+    }
+    return outs[(size_t)pid];
+  };
+  auto close_all = [&]() {
+    for (FILE*& f : outs) if (f) { fclose(f); f = nullptr; }
+    fclose(in);
+  };
+
+  char line[65536];
+  std::vector<double> row((size_t)ncols + 1);
+  int64_t n_rows = 0;
+  while (fgets(line, sizeof(line), in)) {
+    const char* q = line;
+    while (*q == ' ' || *q == '\t' || *q == '\r') ++q;
+    if (*q == '\n' || *q == '\0') continue;  // blank line
+    int32_t col = 0;
+    while (col < ncols) {
+      char* next = nullptr;
+      double v = strtod(q, &next);
+      if (next == q) break;
+      row[(size_t)col++] = v;
+      q = next;
+    }
+    if (col != ncols) {
+      g_error = "short row in table " + std::string(path);
+      close_all();
+      return -1;
+    }
+    row[(size_t)ncols] = (double)n_rows;
+    int64_t pid_q = ((int64_t)row[0] - 1) / part_size;
+    int64_t pid_s = ((int64_t)row[1] - 1) / part_size;
+    FILE* f1 = out_for(pid_s);  // side 1: template = sid (column 1)
+    if (!f1 || fwrite(row.data(), sizeof(double), row.size(), f1)
+                   != row.size()) {
+      g_error = "partition write failed";
+      close_all();
+      return -1;
+    }
+    if (pid_q != pid_s) {       // side 2: template = qid (column 0)
+      FILE* f2 = out_for(pid_q);
+      if (!f2 || fwrite(row.data(), sizeof(double), row.size(), f2)
+                     != row.size()) {
+        g_error = "partition write failed";
+        close_all();
+        return -1;
+      }
+    }
+    ++n_rows;
+  }
+  close_all();
+  return n_rows;
+}
+
+// ---------------------------------------------------------------------------
 // FASTA serialisation: codes + per-record ranges -> wrapped FASTA text blob.
 // Returns bytes written or -(bytes needed).
 // ---------------------------------------------------------------------------

@@ -138,13 +138,13 @@ def _support_columns(path: str, input_type: int):
     return np.asarray(rows, dtype=np.float64).reshape(-1, ncols)
 
 
-def load_supports(path: str, db: PackedDB, input_type: int) -> SupportTable:
-    """Parse candidate/M4 records into per-template support lists (both sides).
+def _sides_from_columns(a: np.ndarray, input_type: int):
+    """Both support sides of parsed records: (t1, c1, t2, c2).
 
-    Seeds are (support position in oriented support, template position on the
-    forward template).
+    Seeds are (support position in oriented support, template position on
+    the forward template).  Shared by the whole-file and partition loaders
+    so they produce identical support rows.
     """
-    a = _support_columns(path, input_type).astype(np.int64)
     if input_type == 0:
         qid, sid, score = a[:, 0] - 1, a[:, 1] - 1, a[:, 2]
         qdir, qext, qsize = a[:, 3], a[:, 4], a[:, 5]
@@ -172,12 +172,81 @@ def load_supports(path: str, db: PackedDB, input_type: int) -> SupportTable:
         c2 = np.stack([sid, sstrand,
                        np.where(sstrand == 0, smid, ssize - 1 - smid),
                        qmid, score], axis=1)
+    return t1, c1, t2, c2
+
+
+def load_supports(path: str, db: PackedDB, input_type: int) -> SupportTable:
+    """Parse candidate/M4 records into per-template support lists (both
+    sides)."""
+    a = _support_columns(path, input_type).astype(np.int64)
+    t1, c1, t2, c2 = _sides_from_columns(a, input_type)
     # score ties keep the former per-record insertion order (side 1 of
     # record i, then side 2 of record i, then record i+1): interleave
     n = len(t1)
     tb = np.concatenate([2 * np.arange(n), 2 * np.arange(n) + 1])
     return SupportTable(np.concatenate([t1, t2]), np.concatenate([c1, c2]),
                         tiebreak=tb)
+
+
+def partition_supports(input_path: str, db: PackedDB, input_type: int,
+                       part_dir: str, part_size: int):
+    """Spill the support table to per-template-range partition files.
+
+    The reference's overlaps_partition/partition_candidates role (SURVEY.md
+    §3.2): each partition file holds the raw rows whose template sides fall
+    in its id range, so consensus peak memory is bounded by one partition,
+    never the whole input.  Streaming native writer when available (peak
+    memory = IO buffers); NumPy fallback produces byte-identical files.
+    Returns [(t_lo, t_hi, path)] for every NON-EMPTY partition.
+    """
+    from ..native import get as _native
+
+    ncols = 9 if input_type == 0 else 12
+    n_parts = max(1, -(-db.n_reads // part_size))
+    os.makedirs(part_dir, exist_ok=True)
+    lib = _native()
+    if lib is not None:
+        lib.partition_table(input_path, ncols, part_size, n_parts, part_dir)
+    else:
+        a = _support_columns(input_path, input_type)
+        rows = np.concatenate([a, np.arange(len(a), dtype=np.float64)
+                               [:, None]], axis=1)
+        pid_q = ((a[:, 0].astype(np.int64) - 1) // part_size).clip(
+            0, n_parts - 1)
+        pid_s = ((a[:, 1].astype(np.int64) - 1) // part_size).clip(
+            0, n_parts - 1)
+        for p in range(n_parts):
+            sel = rows[(pid_s == p) | (pid_q == p)]
+            if len(sel):
+                sel.tofile(os.path.join(part_dir, f"part_{p}.bin"))
+    out = []
+    for p in range(n_parts):
+        path = os.path.join(part_dir, f"part_{p}.bin")
+        if os.path.exists(path):
+            out.append((p * part_size, min((p + 1) * part_size, db.n_reads),
+                        path))
+    return out
+
+
+def load_supports_partition(part_path: str, input_type: int, t_lo: int,
+                            t_hi: int) -> SupportTable:
+    """One partition file -> SupportTable restricted to [t_lo, t_hi).
+
+    The trailing row-index column restores the GLOBAL insertion order for
+    score tie-breaks, so a partitioned run's support lists (and hence its
+    corrected output) are byte-identical to the whole-file loader's.
+    """
+    ncols = 9 if input_type == 0 else 12
+    raw = np.fromfile(part_path, dtype=np.float64).reshape(-1, ncols + 1)
+    rowidx = raw[:, -1].astype(np.int64)
+    a = raw[:, :ncols].astype(np.int64)
+    t1, c1, t2, c2 = _sides_from_columns(a, input_type)
+    m1 = (t1 >= t_lo) & (t1 < t_hi)
+    m2 = (t2 >= t_lo) & (t2 < t_hi)
+    return SupportTable(
+        np.concatenate([t1[m1], t2[m2]]),
+        np.concatenate([c1[m1], c2[m2]]),
+        tiebreak=np.concatenate([2 * rowidx[m1], 2 * rowidx[m2] + 1]))
 
 
 def _oriented(db: PackedDB, rid: int, direction: int) -> np.ndarray:
@@ -671,22 +740,34 @@ def _pick_correct_batch():
     return correct_batch
 
 
+def _use_stream_partition(input_path: str) -> bool:
+    """Spill-to-disk input partitioning: forced by MECAT_TPU_CNS_STREAM=1/0,
+    else automatic above a file-size threshold (default 1 GiB) — the
+    reference partitions unconditionally; small inputs skip the extra IO."""
+    force = os.environ.get("MECAT_TPU_CNS_STREAM")
+    if force in ("0", "1"):
+        return force == "1"
+    thresh = int(os.environ.get("MECAT_TPU_CNS_STREAM_BYTES", 1 << 30))
+    return os.path.getsize(input_path) > thresh
+
+
 def run_cns(input_path: str, reads_path: str, out_path: str,
             opts: Optional[CnsOptions] = None,
             db: Optional[PackedDB] = None) -> CnsStats:
+    """Full mecat2cns run.  Output is independent of both the template
+    batching (-p) and the input spill mode: a streamed run's corrected
+    FASTA is byte-identical to an in-memory run's (tests/test_cns.py)."""
     opts = opts or CnsOptions()
     t0 = time.time()
     if db is None:
         db = PackedDB.from_fasta(reads_path)
     stats = CnsStats()
-    by_template = load_supports(input_path, db, opts.input_type)
-    templates = sorted(by_template)
     correct = _pick_correct_batch()
     kwargs = ({"dev_vol": device_volume(db)}
               if correct is correct_batch_device else {})
-    log.info("cns: %d reads, %d templates with supports", db.n_reads,
-             len(templates))
-    with open(out_path, "wb") as fh:
+
+    def emit_batches(fh, by_template):
+        templates = sorted(by_template)
         for ofs in range(0, len(templates), opts.partition_size):
             batch = templates[ofs:ofs + opts.partition_size]
             for name, seg in correct(db, batch, by_template, opts, stats,
@@ -695,5 +776,26 @@ def run_cns(input_path: str, reads_path: str, out_path: str,
             log.info("cns: %d/%d templates, %d corrected reads",
                      min(ofs + opts.partition_size, len(templates)),
                      len(templates), stats.corrected_reads)
+
+    if _use_stream_partition(input_path):
+        import shutil
+
+        part_dir = out_path + ".parts"
+        parts = partition_supports(input_path, db, opts.input_type,
+                                   part_dir, opts.partition_size)
+        log.info("cns: %d reads, %d support partitions (streamed)",
+                 db.n_reads, len(parts))
+        with open(out_path, "wb") as fh:
+            for t_lo, t_hi, pp in parts:
+                by_template = load_supports_partition(
+                    pp, opts.input_type, t_lo, t_hi)
+                emit_batches(fh, by_template)
+        shutil.rmtree(part_dir, ignore_errors=True)
+    else:
+        by_template = load_supports(input_path, db, opts.input_type)
+        log.info("cns: %d reads, %d templates with supports", db.n_reads,
+                 len(by_template))
+        with open(out_path, "wb") as fh:
+            emit_batches(fh, by_template)
     stats.seconds = time.time() - t0
     return stats

@@ -9,8 +9,11 @@ collecting op tapes so SAM CIGARs are exact.  Extension works on a genome
 window around each seed (|window| ~ 2|read|) rather than whole contigs, so
 batch shapes stay read-sized no matter how large the genome is.
 
-Output: SAM (with soft clips, FLAG 0/16/4) or M4-format lines (``qid`` =
-read, ``sid`` = contig), selected by mecat2ref's output-format flag.
+Output: SAM (soft clips; FLAG 0/16 primary, 4 unmapped, +256 secondary) or
+M4-format lines (``qid`` = read, ``sid`` = contig), selected by mecat2ref's
+output-format flag; up to ``best_n`` distinct loci per read.  MAPQ =
+round(60 * (m1 - m2) / m1) from the best and second-best loci's match
+counts (0 = ambiguous, 60 = uncontested).
 """
 from __future__ import annotations
 
@@ -47,6 +50,11 @@ class RefOptions:
     output_format: str = "sam"         # "sam" | "m4"
     num_candidates: int = 12           # candidate loci per strand
     num_extend: int = 4                # loci extended per strand
+    #: alignments reported per read (reference "max candidate count" output
+    #: role, SURVEY.md §2.1 row 3; TODO(ref): exact flag/default unverified).
+    #: The best alignment is primary; the rest are SAM secondaries (FLAG
+    #: 256) / extra M4 lines, distinct loci only.
+    best_n: int = 1
     min_align_size: int = C.DEFAULT_MIN_ALIGN_SIZE
     min_identity: float = C.MIN_OVERLAP_IDENTITY
     kmer_size: int = C.KMER_SIZE
@@ -191,36 +199,57 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
              qlen_b, qs_b, ts_b], P)
         return [jnp.asarray(a) for a in padded]
 
-    pa_host = []  # per chunk: (n, matches, ident, qbeg, qend, tbeg, tend)
+    cand_by_row = {}  # row -> [(m, pi, locus_key)]
     for ofs in range(0, len(pairs), P):
         ca = chunk_arr[ofs:ofs + P]
         args = chunk_args(ca, g_start[ofs:ofs + P])
         pa = _ref_count_chunk(
             bases_dev[0], bases_dev[1], dev["ref_codes"], *args,
             L_win=L_win, S=S, W=W, max_segs=msegs)
-        pa_host.append((len(ca), pa))
-
-    for ci, (n, pa) in enumerate(pa_host):
+        n = len(ca)
         ident = np.asarray(pa.identity)[:n]
         matches = np.asarray(pa.matches)[:n]
+        tbeg_a = np.asarray(pa.tbeg)[:n]
         span = np.minimum(np.asarray(pa.qend - pa.qbeg),
                           np.asarray(pa.tend - pa.tbeg))[:n]
-        for i in range(n):
-            pi = ci * P + i
+        keep = ((span >= opts.min_align_size)
+                & (ident >= opts.min_identity))
+        for i in np.nonzero(keep)[0]:
+            pi = ofs + int(i)
             row = int(chunk_arr[pi, 0])
-            if span[i] < opts.min_align_size or ident[i] < opts.min_identity:
-                continue
-            m = int(matches[i])
-            if row not in best or m > best[row][0]:
-                if row in best:
-                    second[row] = best[row][0]
-                best[row] = (m, pi)
-            elif m > second.get(row, 0):
-                second[row] = m
+            # distinct-locus key: different seeds converging on the same
+            # alignment land within a band width of the same genome start
+            key = (int(chunk_arr[pi, 1]), int(chunk_arr[pi, 2]),
+                   (int(chunk_arr[pi, 3]) + int(tbeg_a[i])) // max(W, 1))
+            cand_by_row.setdefault(row, []).append((int(matches[i]), pi, key))
 
-    # Phase B: winners only
-    payloads = {}  # row -> payload tuple
-    win_idx = np.asarray([best[r][1] for r in sorted(best)], dtype=np.int64)
+    # top best_n DISTINCT loci per read; runner-up matches drive MAPQ
+    for row, lst in cand_by_row.items():
+        lst.sort(key=lambda x: (-x[0], x[1]))
+        seen_keys, picked = set(), []
+        runner_up = 0
+        for m, pi, key in lst:
+            if key in seen_keys:
+                continue
+            seen_keys.add(key)
+            if len(picked) < opts.best_n:
+                picked.append((m, pi))
+            elif not runner_up:
+                runner_up = m
+                break
+        best[row] = picked
+        # second-best DISTINCT locus (for MAPQ): the 2nd pick if reported,
+        # else the best non-reported survivor
+        second[row] = picked[1][0] if len(picked) > 1 else runner_up
+
+    # Phase B: selected alignments only (primary + up to best_n-1 secondary)
+    payloads = {}  # row -> [payload tuple] in rank order
+    sel_rows, sel_pis = [], []
+    for r in sorted(best):
+        for _, pi in best[r]:
+            sel_rows.append(r)
+            sel_pis.append(pi)
+    win_idx = np.asarray(sel_pis, dtype=np.int64)
     need_ops = opts.output_format == "sam"
     for ofs in range(0, len(win_idx), P):
         sel = win_idx[ofs:ofs + P]
@@ -248,12 +277,12 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
                 row_ops = row_ops[:int((row_ops >= 0).sum())]
             else:
                 row_ops = np.zeros(0, np.int8)
-            payloads[int(row)] = (
+            payloads.setdefault(int(row), []).append((
                 int(strand), int(contig), int(win0), int(qbeg[i]),
                 int(qend[i]), int(tbeg[i]), int(tend[i]), float(ident[i]),
-                int(score), row_ops)
+                int(score), row_ops))
 
-    # emit one record per read
+    # emit records: primary first, then secondaries (FLAG 256 / extra lines)
     for row, rid in enumerate(read_ids):
         stats.reads += 1
         qsize = int(db.lengths[rid])
@@ -262,30 +291,37 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
             if opts.output_format == "sam":
                 out_lines.append(sam_unmapped(name, db.read(rid)))
             continue
-        m = best[row][0]
-        strand, contig, win0, qb, qe, tb, te, ident, score, ops = payloads[row]
         stats.mapped += 1
-        uniq = m - second.get(row, 0)
-        mapq = max(0, min(60, int(60.0 * uniq / max(m, 1)) + 20)) if m else 0
-        gstart = win0 + tb
-        gend = win0 + te
-        if opts.output_format == "sam":
-            cigar = cigar_from_ops(np.asarray(ops), qb, qe, qsize)
-            seq = db.read(rid) if strand == 0 else revcomp(db.read(rid))
-            flag = 0 if strand == 0 else 16
-            out_lines.append(sam_line(
-                name, flag, ref_db.name(contig), gstart, mapq, cigar, seq,
-                tags=f"NM:i:{int((qe - qb) - m)}\tAS:i:{m}"))
-        else:
-            if strand == 0:
-                qs0, qe0 = qb, qe
+        m1 = best[row][0][0]
+        # MAPQ from best-vs-second matches (documented formula): 0 when the
+        # runner-up ties the winner (ambiguous), scaling linearly to 60 for
+        # an uncontested locus — mapq = round(60 * (m1 - m2) / m1).
+        m2 = second.get(row, 0)
+        mapq = int(round(60.0 * (m1 - m2) / m1)) if m1 > 0 else 0
+        mapq = max(0, min(60, mapq))
+        for rank, payload in enumerate(payloads[row]):
+            strand, contig, win0, qb, qe, tb, te, ident, score, ops = payload
+            gstart = win0 + tb
+            gend = win0 + te
+            if opts.output_format == "sam":
+                cigar = cigar_from_ops(np.asarray(ops), qb, qe, qsize)
+                seq = db.read(rid) if strand == 0 else revcomp(db.read(rid))
+                flag = (0 if strand == 0 else 16) | (256 if rank else 0)
+                mm = best[row][rank][0]
+                out_lines.append(sam_line(
+                    name, flag, ref_db.name(contig), gstart,
+                    mapq if rank == 0 else 0, cigar, seq,
+                    tags=f"NM:i:{int((qe - qb) - mm)}\tAS:i:{mm}"))
             else:
-                qs0, qe0 = qsize - qe, qsize - qb
-            out_lines.append(M4Record(
-                qid=rid + 1, sid=contig + 1, identity=ident, score=score,
-                qstrand=0, qstart=qs0, qend=qe0, qsize=qsize,
-                sstrand=strand, sstart=gstart, send=gend,
-                ssize=int(ref_db.lengths[contig])).format())
+                if strand == 0:
+                    qs0, qe0 = qb, qe
+                else:
+                    qs0, qe0 = qsize - qe, qsize - qb
+                out_lines.append(M4Record(
+                    qid=rid + 1, sid=contig + 1, identity=ident, score=score,
+                    qstrand=0, qstart=qs0, qend=qe0, qsize=qsize,
+                    sstrand=strand, sstart=gstart, send=gend,
+                    ssize=int(ref_db.lengths[contig])).format())
 
 
 def run_ref(reads_path: str, ref_path: str, out_path: str, wrk_dir: str,

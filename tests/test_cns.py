@@ -164,3 +164,59 @@ def test_cns_e2e(cns_setup, input_type):
     # property test (SURVEY.md §4): consensus must improve identity a lot
     assert cor_m > raw_m + 4, (raw_m, cor_m)
     assert cor_m > 96.0, cor_m
+
+
+def test_cns_streamed_partition_identical(cns_setup, monkeypatch):
+    """Spill-to-disk input partitioning (reference overlaps_partition role)
+    must produce byte-identical corrected FASTA, with small partitions
+    forcing many partition files."""
+    tmp, reads, db, truths, genome = cns_setup
+    ovl = str(tmp / "ovl.i0")  # produced by test_cns_e2e[0]
+    import os
+
+    if not os.path.exists(ovl):
+        run_pw(reads, ovl, str(tmp / "wrki0"), PwOptions(task=0, **PW_OPTS))
+    base = str(tmp / "corr_mem.fasta")
+    opts = CnsOptions(input_type=0, partition_size=7, **CNS_OPTS)
+    monkeypatch.setenv("MECAT_TPU_CNS_STREAM", "0")
+    run_cns(ovl, reads, base, opts, db=db)
+    streamed = str(tmp / "corr_stream.fasta")
+    monkeypatch.setenv("MECAT_TPU_CNS_STREAM", "1")
+    st = run_cns(ovl, reads, streamed, opts, db=db)
+    assert st.corrected_reads > 0
+    assert open(base, "rb").read() == open(streamed, "rb").read()
+    assert not os.path.exists(streamed + ".parts")  # cleaned up
+
+
+def test_partition_supports_native_matches_fallback(cns_setup, monkeypatch):
+    tmp, reads, db, truths, genome = cns_setup
+    ovl = str(tmp / "ovl.i0")
+    import os
+
+    if not os.path.exists(ovl):
+        run_pw(reads, ovl, str(tmp / "wrki0"), PwOptions(task=0, **PW_OPTS))
+    from mecat_tpu.pipeline.cns import (load_supports,
+                                        load_supports_partition,
+                                        partition_supports)
+
+    d_nat = str(tmp / "parts_native")
+    parts_nat = partition_supports(ovl, db, 0, d_nat, part_size=11)
+    monkeypatch.setenv("MECAT_TPU_NO_NATIVE", "1")
+    d_py = str(tmp / "parts_py")
+    parts_py = partition_supports(ovl, db, 0, d_py, part_size=11)
+    monkeypatch.delenv("MECAT_TPU_NO_NATIVE")
+    assert [(a, b) for a, b, _ in parts_nat] == [(a, b)
+                                                 for a, b, _ in parts_py]
+    for (_, _, pn), (_, _, pp) in zip(parts_nat, parts_py):
+        assert open(pn, "rb").read() == open(pp, "rb").read()
+
+    # partition loads reproduce the whole-file support lists exactly
+    whole = load_supports(ovl, db, 0)
+    seen = 0
+    for t_lo, t_hi, path in parts_nat:
+        part = load_supports_partition(path, 0, t_lo, t_hi)
+        for t in part:
+            assert t_lo <= t < t_hi
+            np.testing.assert_array_equal(part.get(t), whole.get(t))
+            seen += 1
+    assert seen == len(whole)

@@ -129,3 +129,71 @@ def test_ref_cli(ref_setup):
     assert rc == 0
     header, lines = parse_sam(out)
     assert len(lines) == len(seqs)
+
+
+def test_ref_topk_secondary_and_mapq(tmp_path):
+    """A duplicated genome segment forces two near-equal loci: with -m 2 the
+    read reports a secondary (FLAG 256) at the other copy and its MAPQ
+    collapses toward 0; unique reads keep high MAPQ."""
+    seg = random_genome(8000, seed=91)
+    uniq = random_genome(20000, seed=92)
+    genome = np.concatenate([seg, uniq, seg])  # seg copies at 0 and 28000
+    ref = str(tmp_path / "genome.fasta")
+    write_fasta(ref, [("chr1", genome)])
+    # read fully inside the repeat copy 1; read fully inside unique part
+    reads = str(tmp_path / "reads.fasta")
+    write_fasta(reads, [("rep", genome[1000:4000]),
+                        ("unq", genome[12000:15000])])
+    out = str(tmp_path / "out.sam")
+    stats = run_ref(reads, ref, out, str(tmp_path / "wrk"),
+                    RefOptions(output_format="sam", best_n=2, **OPTS))
+    assert stats.mapped == 2
+    header, lines = parse_sam(out)
+    by_name = {}
+    for f in lines:
+        by_name.setdefault(f[0], []).append(f)
+    rep = by_name["rep"]
+    assert len(rep) == 2
+    prim = [f for f in rep if not int(f[1]) & 256]
+    seco = [f for f in rep if int(f[1]) & 256]
+    assert len(prim) == 1 and len(seco) == 1
+    # the two loci are the two copies of the repeat
+    positions = sorted(int(f[3]) - 1 for f in rep)
+    assert abs(positions[0] - 1000) < 200
+    assert abs(positions[1] - 29000) < 200
+    assert int(prim[0][4]) <= 15          # ambiguous -> low MAPQ
+    assert int(seco[0][4]) == 0
+    unq = by_name["unq"]
+    assert len(unq) == 1
+    assert int(unq[0][4]) >= 40           # unique -> high MAPQ
+
+
+def test_ref_sam_m4_coordinates_agree(ref_setup):
+    """Differential SAM <-> M4 check: the primary alignment's contig, strand,
+    and genome span must agree between the two output formats."""
+    tmp, reads, ref, names, seqs, genomes = ref_setup
+    sam_out = str(tmp / "out.sam")       # written by test_ref_sam
+    m4_out = str(tmp / "out.m4ref")      # written by test_ref_m4
+    import os
+    if not os.path.exists(sam_out):
+        run_ref(reads, ref, sam_out, str(tmp / "wrk"),
+                RefOptions(output_format="sam", **OPTS))
+    if not os.path.exists(m4_out):
+        run_ref(reads, ref, m4_out, str(tmp / "wrk2"),
+                RefOptions(output_format="m4", **OPTS))
+    header, lines = parse_sam(sam_out)
+    sam_primary = {f[0]: f for f in lines
+                   if not int(f[1]) & 4 and not int(f[1]) & 256}
+    name_of = {i + 1: nm for i, (nm, _) in enumerate(seqs)}
+    contig_id = {"chr1": 1, "chr2": 2}
+    n = 0
+    for r in read_m4(m4_out):
+        f = sam_primary[name_of[r.qid]]
+        assert contig_id[f[2]] == r.sid
+        assert (int(f[1]) & 16 == 16) == (r.sstrand == 1)
+        pos = int(f[3]) - 1
+        assert pos == r.sstart, (f[0], pos, r.sstart)
+        qc, rc = cigar_consumes(f[5])
+        assert abs((pos + rc) - r.send) <= 0
+        n += 1
+    assert n == len(sam_primary)
