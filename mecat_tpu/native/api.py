@@ -101,6 +101,10 @@ class NativeLib:
                                         ct.c_char_p, ct.c_int32, ct.c_char_p,
                                         ct.c_int64]
 
+        lib.mt_edit_stats.restype = ct.c_int64
+        lib.mt_edit_stats.argtypes = [_c_u8p, ct.c_int64, _c_u8p, ct.c_int64,
+                                      ct.c_int32, ct.c_int32, _c_i64p]
+
     # -- parsing --------------------------------------------------------------
     def parse_path(self, path: str) -> ParsedDB:
         h = self._lib.mt_parse_path(path.encode())
@@ -150,6 +154,28 @@ class NativeLib:
         if n < 0:
             raise ValueError(self._lib.mt_error().decode())
         return int(n)
+
+    def edit_stats(self, a: np.ndarray, b: np.ndarray, band: int = 256,
+                   mode: int = 0) -> Tuple[int, int, int, int]:
+        """Banded edit distance a -> b: (dist, subs, ins, dels).
+
+        mode 0 = global, 1 = infix (free end gaps in b).  The band
+        auto-widens (x2, up to max(len)) until dist < band — any optimal
+        path leaving the band's diagonal envelope costs at least the band
+        width, so dist < band proves the result exact."""
+        a = np.ascontiguousarray(a, dtype=np.uint8)
+        b = np.ascontiguousarray(b, dtype=np.uint8)
+        stats = np.zeros(4, dtype=np.int64)
+        limit = max(len(a), len(b), 1)
+        while True:
+            bw = min(band, limit)
+            d = self._lib.mt_edit_stats(a, len(a), b, len(b),
+                                        np.int32(bw), np.int32(mode), stats)
+            if d < 0:
+                raise ValueError(self._lib.mt_error().decode())
+            if d < bw or bw >= limit:
+                return int(d), int(stats[0]), int(stats[1]), int(stats[2])
+            band *= 2
 
     # -- packing / batching ----------------------------------------------------
     def pack_2bit(self, codes: np.ndarray) -> np.ndarray:

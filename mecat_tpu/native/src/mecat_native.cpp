@@ -486,6 +486,101 @@ int64_t mt_format_fasta(const uint8_t* codes, const int64_t* starts,
   return o - out;
 }
 
+// ---------------------------------------------------------------------------
+// Banded edit distance with path decomposition (accuracy QC: the reference
+// validates corrected-read quality against a truth alignment — SURVEY.md §4
+// property-test mandate).  Transforms a -> b with unit costs.  mode 0 =
+// global; mode 1 = infix (global in a, FREE leading/trailing gaps in b —
+// the corrected-read-vs-truth-window shape, where coverage trims clip the
+// read ends).  out_stats receives {subs, ins, dels, edge} where ins = extra
+// bases in a, dels = bases of b missing from a (inside the aligned span
+// only, for mode 1), and edge = 1 when the optimal path touched the band
+// boundary (caller should widen the band and retry).  Returns the distance,
+// or -1 on bad arguments.  Memory: (la+1) x bandwidth move bytes (~15 MB
+// for 10 kb reads, band 512).
+// ---------------------------------------------------------------------------
+
+int64_t mt_edit_stats(const uint8_t* a, int64_t la, const uint8_t* b,
+                      int64_t lb, int32_t band, int32_t mode,
+                      int64_t* out_stats) {
+  if (la < 0 || lb < 0 || band < 1 || (mode != 0 && mode != 1)) {
+    g_error = "bad edit args";
+    return -1;
+  }
+  // diagonal offsets j - i covered by the band
+  const int64_t lo_off = (lb < la ? lb - la : 0) - band;
+  const int64_t hi_off = (lb > la ? lb - la : 0) + band;
+  const int64_t Wb = hi_off - lo_off + 1;
+  const int32_t INF = INT32_MAX / 4;
+  std::vector<int32_t> prev((size_t)Wb, INF), cur((size_t)Wb, INF);
+  std::vector<uint8_t> moves;
+  moves.resize((size_t)(la + 1) * (size_t)Wb);  // 0=diag,1=up(ins),2=left(del)
+  auto col0 = [&](int64_t i) { return i + lo_off; };  // j at band slot 0
+
+  for (int64_t j = 0; j <= lb && j - 0 <= hi_off; ++j) {
+    prev[(size_t)(j - lo_off)] = mode == 1 ? 0 : (int32_t)j;  // free prefix?
+    moves[(size_t)(j - lo_off)] = 2;
+  }
+  for (int64_t i = 1; i <= la; ++i) {
+    uint8_t* mrow = moves.data() + (size_t)i * (size_t)Wb;
+    const int64_t jlo = col0(i) < 0 ? 0 : col0(i);
+    const int64_t jhi = (i + hi_off) < lb ? (i + hi_off) : lb;
+    std::fill(cur.begin(), cur.end(), INF);
+    for (int64_t j = jlo; j <= jhi; ++j) {
+      const int64_t s = j - col0(i);                  // band slot
+      int32_t best;
+      uint8_t mv;
+      // up: (i-1, j) -> slot s+1 in prev (prev row's col0 is one less)
+      int32_t up = (s + 1 < Wb) ? prev[(size_t)(s + 1)] : INF;
+      if (up < INF) up += 1;
+      if (j == 0) { best = up; mv = 1; }
+      else {
+        int32_t diag = prev[(size_t)s];               // (i-1, j-1)
+        if (diag < INF) diag += (a[i - 1] == b[j - 1] ? 0 : 1);
+        int32_t left = (s > 0) ? cur[(size_t)(s - 1)] : INF;
+        if (left < INF) left += 1;
+        best = diag; mv = 0;
+        if (up < best) { best = up; mv = 1; }
+        if (left < best) { best = left; mv = 2; }
+      }
+      cur[(size_t)s] = best;
+      mrow[(size_t)s] = mv;
+    }
+    std::swap(prev, cur);
+  }
+  // end cell: (la, lb) for global; argmin over the last row for infix
+  int64_t end_j = lb;
+  if (mode == 1) {
+    int32_t bst = INF;
+    const int64_t jlo = col0(la) < 0 ? 0 : col0(la);
+    const int64_t jhi = (la + hi_off) < lb ? (la + hi_off) : lb;
+    for (int64_t j = jlo; j <= jhi; ++j) {
+      const int32_t v = prev[(size_t)(j - col0(la))];
+      if (v < bst) { bst = v; end_j = j; }
+    }
+  }
+  const int64_t end_s = end_j - col0(la);
+  if (end_s < 0 || end_s >= Wb || prev[(size_t)end_s] >= INF) {
+    g_error = "band too narrow for alignment";
+    return -1;
+  }
+  const int64_t dist = prev[(size_t)end_s];
+  // traceback for the decomposition (mode 1 stops at the free row 0)
+  int64_t subs = 0, ins = 0, dels = 0, edge = 0;
+  int64_t i = la, j = end_j;
+  while (i > 0 || (mode == 0 && j > 0)) {
+    const int64_t s = j - col0(i);
+    if (s == 0 || s == Wb - 1) edge = 1;
+    const uint8_t mv = moves[(size_t)i * (size_t)Wb + (size_t)s];
+    if (mv == 0) { if (a[i - 1] != b[j - 1]) ++subs; --i; --j; }
+    else if (mv == 1) { ++ins; --i; }
+    else { ++dels; --j; }
+  }
+  out_stats[0] = subs; out_stats[1] = ins; out_stats[2] = dels;
+  out_stats[3] = edge;
+  return dist;
+}
+
 // ASCII -> 2-bit codes (bulk); non-ACGT -> 0 (constants.INVALID_BASE_CODE,
 // i.e. 'A' — N bases deliberately collapse to A, matching the Python LUT)
 void mt_encode_bases(const uint8_t* ascii, int64_t n, uint8_t* out) {
