@@ -108,7 +108,10 @@ def columns_to_tags(ops: np.ndarray, qpos: np.ndarray, tpos: np.ndarray,
             base[keep].astype(np.int32))
 
 
-_DEL_BIAS = float(__import__("os").environ.get("MECAT_TPU_CNS_DEL_BIAS", "0.5"))  # pooled-deletion rounding bias
+#: pooled-deletion rounding bias.  Swept on controlled piles 2026-08-17
+#: (tools/pile_harness.py): 0.65 beats 0.5 at both 8x (98.59 -> 98.88
+#: median) and 20x (99.37 -> 99.50); 0.75+ over-deletes.
+_DEL_BIAS = float(__import__("os").environ.get("MECAT_TPU_CNS_DEL_BIAS", "0.65"))
 #: pooled top-ups need believable mean coverage: with < _POOL_MIN_COV the
 #: G/m estimate over-fires (E. coli E2E: mid-coverage reads lost ~100 bases)
 _POOL_MIN_COV = int(__import__("os").environ.get("MECAT_TPU_CNS_POOL_MIN_COV", "5"))

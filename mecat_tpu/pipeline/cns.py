@@ -337,7 +337,18 @@ def correct_batch(db: PackedDB, templates: List[int],
         qend = np.asarray(pa.qend)[:n]
         for i, (t, s, sdir, spos, tpos) in enumerate(chunk):
             span = int(tend[i] - tbeg[i])
-            ratio = (qend[i] - qbeg[i]) / max(1, qlen[i])
+            # mapping ratio vs the maximal DOVETAIL EXTENT the seed allows
+            # (min over each side of what support and template can consume),
+            # NOT the full support length: a long support overlapping a
+            # short template can never align most of itself, and the full-
+            # length denominator silently discarded ~75% of real supports
+            # on short E. coli templates (measured 2026-08-17; effective
+            # pile coverage 38x -> 8x, the dominant accuracy loss).
+            # TODO(ref): exact reference ratio denominator unverified.
+            extent = (min(int(qs[i]), int(ts[i]))
+                      + min(int(qlen[i]) - int(qs[i]),
+                            int(tlen[i]) - int(ts[i])))
+            ratio = (qend[i] - qbeg[i]) / max(1, extent)
             if (ident[i] < opts.min_identity or span < opts.min_align_size
                     or ratio < opts.min_mapping_ratio):
                 continue
@@ -688,8 +699,13 @@ def make_cns_chunk(*, L_s, L_t, S, W, max_segs, max_segs_left,
         pa, right_t, left_t = extend_pair_batch_with_ops(
             q, t, w_len, tlen, qs_w, ts, S=S, W=W, max_segs=max_segs,
             max_segs_left=max_segs_left)
-        # mapping ratio is against the FULL support length
-        ratio = (pa.qend - pa.qbeg) / jnp.maximum(1, qlen)
+        # mapping ratio vs the maximal DOVETAIL EXTENT the seed allows in
+        # FULL-read coordinates (identical formula to the host path — see
+        # correct_batch; the full-length denominator discarded ~75% of real
+        # supports on short templates)
+        extent = (jnp.minimum(qs_c, ts)
+                  + jnp.minimum(full - qs_c, tlen - ts))
+        ratio = (pa.qend - pa.qbeg) / jnp.maximum(1, extent)
         keep = (real & (pa.identity >= min_identity)
                 & ((pa.tend - pa.tbeg) >= min_align_size)
                 & (ratio >= min_mapping_ratio))
