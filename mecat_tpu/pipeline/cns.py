@@ -49,6 +49,14 @@ class CnsOptions:
     min_coverage: int = C.DEFAULT_MIN_COVERAGE            # -c
     min_length: int = C.DEFAULT_MIN_CORRECTED_LENGTH      # -l
     max_supports: int = C.MAX_SUPPORTS_PER_TEMPLATE
+    #: stop recruiting supports once their summed dovetail extents reach
+    #: this many template lengths (score-sorted prefix; 0 = off).  The
+    #: identity-vs-coverage curve is flat above ~25-30x (tools/pile_harness
+    #: sweep 2026-08-17: 25x=99.64, 30x=99.67, 40x=99.73 median), so extra
+    #: supports cost alignment time for negligible accuracy; at E. coli
+    #: scale target 25 cuts supports-to-align to 54% (567k -> 306k).
+    #: TODO(ref): the reference caps by count, not estimated coverage.
+    max_est_coverage: int = 25
     align_segment: int = C.ALIGN_SEGMENT
     align_band: int = C.ALIGN_BAND
     extend_batch: int = 128
@@ -263,6 +271,32 @@ def _capped_supports(by_template, t, cap: int):
     return sups[:cap]
 
 
+def select_supports(db: PackedDB, by_template, t, opts: CnsOptions):
+    """Deterministic support selection for one template (host AND device
+    paths — host/device output parity depends on both using this).
+
+    Score-sorted cap (``max_supports``), then an estimated-coverage cut:
+    stop at the first support whose cumulative dovetail extent reaches
+    ``max_est_coverage`` template lengths.  The extent formula matches the
+    mapping-ratio gate, so the estimate upper-bounds what each support can
+    contribute."""
+    sups = _capped_supports(by_template, t, opts.max_supports)
+    target = opts.max_est_coverage
+    if not target or len(sups) == 0:
+        return sups
+    a = np.asarray(sups, dtype=np.int64).reshape(-1, 5)
+    tlen = int(db.lengths[t])
+    qlen = db.lengths[a[:, 0]].astype(np.int64)
+    spos = np.clip(a[:, 2], 0, np.maximum(qlen - 1, 0))
+    tpos = np.clip(a[:, 3], 0, tlen - 1)
+    extent = (np.minimum(spos, tpos)
+              + np.minimum(qlen - spos, tlen - tpos))
+    cum = np.cumsum(extent)
+    # index of the first support that reaches the target (inclusive)
+    n_keep = int(np.searchsorted(cum, target * tlen, side="left")) + 1
+    return sups[:max(n_keep, 1)]
+
+
 def _orient_rows(rows, lens, flip):
     """Device row-wise orient: reverse-complement rows where flip==1.
 
@@ -289,8 +323,8 @@ def correct_batch(db: PackedDB, templates: List[int],
     # build the pair list, grouped by template
     pairs = []  # (template, support, dir, spos, tpos)
     for t in templates:
-        for s, sdir, spos, tpos, score in _capped_supports(
-                by_template, t, opts.max_supports):
+        for s, sdir, spos, tpos, score in select_supports(
+                db, by_template, t, opts):
             pairs.append((int(t), int(s), int(sdir), int(spos), int(tpos)))
     if not pairs:
         return []
@@ -419,7 +453,7 @@ def plan_pairs(db: PackedDB, templates: List[int], by_template,
     S, W = opts.align_segment, opts.align_band
     sup_list, t_rep = [], []
     for t in templates:
-        s = _capped_supports(by_template, t, opts.max_supports)
+        s = select_supports(db, by_template, t, opts)
         if len(s):
             sup_list.append(np.asarray(s, dtype=np.int64).reshape(-1, 5))
             t_rep.append(np.full(len(s), t, dtype=np.int64))
