@@ -128,6 +128,28 @@ def format_block(records: List) -> str:
     return lib.format_candidates(cols).decode()
 
 
+def format_candidate_columns(cols: dict) -> str:
+    """Columnar candidate serialization (no per-record Python objects).
+
+    The hot write path of mecat2pw -j 0 at scale: callers assemble int
+    column arrays vectorised; the native writer (or a byte-identical
+    Python fallback) renders them in one call.
+    """
+    import numpy as np
+
+    n = len(cols["qid"])
+    if n == 0:
+        return ""
+    from ..native import get as _native
+    lib = _native()
+    if lib is not None:
+        return lib.format_candidates(cols).decode()
+    a = np.column_stack([np.asarray(cols[f], dtype=np.int64)
+                         for f in ("qid", "sid", "score", "qdir", "qext",
+                                   "qsize", "sdir", "sext", "ssize")])
+    return "".join("\t".join(map(str, row)) + "\n" for row in a)
+
+
 def read_m4(path: str) -> Iterator[M4Record]:
     with open(path) as fh:
         for line in fh:

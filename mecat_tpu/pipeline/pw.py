@@ -24,7 +24,8 @@ import numpy as np
 
 from .. import constants as C
 from ..index.kmer_index import build_index
-from ..io.m4 import CandidateRecord, M4Record, format_block
+from ..io.m4 import (CandidateRecord, M4Record, format_block,
+                     format_candidate_columns)
 from ..io.packed_db import PackedDB, upload_codes
 from ..ops.align import extend_pair_batch
 from ..ops.ddf import scan_candidates
@@ -135,18 +136,23 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
     stats.candidates += len(pairs)
 
     m4_out: List[M4Record] = []
-    cand_out: List[CandidateRecord] = []
     if len(pairs) == 0:
-        return m4_out, cand_out
+        return m4_out, ""
 
     if opts.task == 0:
-        for row, strand, tgt, score, qseed, tseed in pairs:
-            qid = query_ids[row]
-            cand_out.append(CandidateRecord(
-                qid=qid + 1, sid=vol_base + tgt + 1, score=int(score),
-                qdir=int(strand), qext=int(qseed), qsize=int(lens[row]),
-                sdir=0, sext=int(tseed), ssize=int(vol_db.lengths[tgt])))
-        return m4_out, cand_out
+        # columnar emit straight from the pairs array — the per-record
+        # CandidateRecord loop was host-bound at scale (434k records on
+        # this sandbox's slow host CPU)
+        rows = pairs[:, 0].astype(np.int64)
+        qarr = np.asarray(query_ids, dtype=np.int64)
+        tgt = pairs[:, 2].astype(np.int64)
+        cand_text = format_candidate_columns({
+            "qid": qarr[rows] + 1, "sid": vol_base + tgt + 1,
+            "score": pairs[:, 3], "qdir": pairs[:, 1],
+            "qext": pairs[:, 4], "qsize": lens[rows],
+            "sdir": np.zeros(len(pairs), np.int64), "sext": pairs[:, 5],
+            "ssize": vol_db.lengths[tgt]})
+        return m4_out, cand_text
 
     # -- extension batches ----------------------------------------------------
     P = opts.extend_batch
@@ -207,7 +213,7 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
                 qext=int(chunk[i, 4]) if opts.print_ext else None,
                 sext=int(chunk[i, 5]) if opts.print_ext else None))
     stats.overlaps += len(m4_out)
-    return m4_out, cand_out
+    return m4_out, ""
 
 
 def _bucket_k(n: int, minimum: int = 256) -> int:
@@ -544,7 +550,7 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                                 db, va, dev, idx.max_occ_cutoff, qids, opts,
                                 vol_db, stats, L_q_b, L_target)
                             fh.write(format_block(m4s))
-                            fh.write(format_block(cands))
+                            fh.write(cands)
                 os.replace(shard + ".tmp", shard)
                 log.info("pw: volume %d vs %d done (%d candidates, "
                          "%d overlaps)", vi, vj, stats.candidates,

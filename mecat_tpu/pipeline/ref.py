@@ -145,28 +145,31 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
             num_candidates=opts.num_candidates, diag_bin=opts.diag_bin,
             diag_shift=GENOME_DIAG_SHIFT)
 
-    # build extension pair list: top loci per strand per read
+    # build extension pair list: top loci per strand per read (vectorised —
+    # the per-read x per-locus Python loop was a per-record host cost at
+    # genome-mapping scale)
     L_win = min(2 * L_q + 1024, bucket_length(int(ref_db.lengths.max())))
-    pairs = []  # (row, strand, contig, win0, qseed, tseed_local, score)
+    chunks = []  # [n, 8]: row, strand, contig, win0, qseed, tseed_loc, score, wlen
     for strand in (0, 1):
         c = cands[strand]
-        tgt = np.asarray(c.target)
-        score = np.asarray(c.score)
-        qseed = np.asarray(c.qseed)
-        tseed = np.asarray(c.tseed)
-        valid = np.asarray(c.valid)
-        for row in range(len(read_ids)):
-            for j in range(min(opts.num_extend, tgt.shape[1])):
-                if not valid[row, j]:
-                    continue
-                contig = int(tgt[row, j])
-                clen = int(ref_db.lengths[contig])
-                win0, wlen = _window(int(tseed[row, j]), int(lens[row]),
-                                     clen, L_win)
-                pairs.append((row, strand, contig, win0,
-                              int(qseed[row, j]),
-                              int(tseed[row, j]) - win0, int(score[row, j]),
-                              wlen))
+        ncol = min(opts.num_extend, np.asarray(c.target).shape[1])
+        valid = np.asarray(c.valid)[:len(read_ids), :ncol]
+        r, j = np.nonzero(valid)
+        if len(r) == 0:
+            continue
+        tgt = np.asarray(c.target)[:len(read_ids), :ncol][r, j].astype(np.int64)
+        tseed = np.asarray(c.tseed)[:len(read_ids), :ncol][r, j].astype(np.int64)
+        clen = ref_db.lengths[tgt].astype(np.int64)
+        win0 = np.clip(np.minimum(tseed - L_win // 2, clen - L_win), 0, None)
+        wlen = np.minimum(L_win, clen - win0)
+        chunks.append(np.stack([
+            r, np.full_like(tgt, strand), tgt, win0,
+            np.asarray(c.qseed)[:len(read_ids), :ncol][r, j].astype(np.int64),
+            tseed - win0,
+            np.asarray(c.score)[:len(read_ids), :ncol][r, j].astype(np.int64),
+            wlen], axis=1))
+    pairs = (np.concatenate(chunks, axis=0) if chunks
+             else np.zeros((0, 8), np.int64))
 
     # Phase A: score every candidate locus with the counts-only extension
     # (no op tapes), keep best + runner-up matches per read.  Phase B
@@ -180,10 +183,7 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
     S, W = opts.align_segment, opts.align_band
     msegs = max_segs_for(L_q, S)
     bases_dev = {0: jnp.asarray(fwd_p), 1: jnp.asarray(rev_p)}
-    chunk_arr = np.asarray(
-        [(row, strand, contig, win0, qs, ts, score, wlen)
-         for (row, strand, contig, win0, qs, ts, score, wlen) in pairs],
-        dtype=np.int64).reshape(len(pairs), 8)
+    chunk_arr = pairs
     g_start = (ref_db.starts[chunk_arr[:, 2]] + chunk_arr[:, 3]).astype(
         np.int32)
 

@@ -44,16 +44,23 @@ class TrimStats:
     seconds: float = 0.0
 
 
-def coverage_intervals(L: int, spans: List[Tuple[int, int]],
-                       min_evidence: int, min_len: int
+def coverage_intervals(L: int, spans, min_evidence: int, min_len: int
                        ) -> List[Tuple[int, int]]:
-    """Maximal intervals of length >= min_len with coverage >= min_evidence."""
+    """Maximal intervals of length >= min_len with coverage >= min_evidence.
+
+    ``spans``: list of (a, b) pairs, or a pair of arrays (a_vec, b_vec).
+    """
+    if isinstance(spans, tuple):
+        a_v, b_v = spans
+    else:
+        a_v = np.asarray([a for a, _ in spans], dtype=np.int64)
+        b_v = np.asarray([b for _, b in spans], dtype=np.int64)
+    a_v = np.clip(a_v, 0, L)
+    b_v = np.clip(b_v, 0, L)
+    keep = b_v > a_v
     diff = np.zeros(L + 1, dtype=np.int32)
-    for a, b in spans:
-        a, b = max(0, a), min(L, b)
-        if b > a:
-            diff[a] += 1
-            diff[b] -= 1
+    np.add.at(diff, a_v[keep], 1)
+    np.add.at(diff, b_v[keep], -1)
     cov = np.cumsum(diff[:-1])
     ok = cov >= min_evidence
     if not ok.any():
@@ -65,6 +72,23 @@ def coverage_intervals(L: int, spans: List[Tuple[int, int]],
         if ok[a] and b - a >= min_len:
             out.append((int(a), int(b)))
     return out
+
+
+def _m4_span_columns(path: str) -> np.ndarray:
+    """M4 file -> float64 [n, 12] numeric columns (native parse; Python
+    fallback produces the same array)."""
+    from ..native import get as _native
+
+    lib = _native()
+    if lib is not None:
+        try:
+            return lib.parse_table(path, 12)
+        except ValueError:
+            pass
+    rows = [(r.qid, r.sid, r.identity, r.score, r.qstrand, r.qstart, r.qend,
+             r.qsize, r.sstrand, r.sstart, r.send, r.ssize)
+            for r in read_m4(path)]
+    return np.asarray(rows, dtype=np.float64).reshape(-1, 12)
 
 
 def run_trim(corrected_path: str, out_path: str, wrk_dir: str,
@@ -83,16 +107,26 @@ def run_trim(corrected_path: str, out_path: str, wrk_dir: str,
         run_pw(corrected_path, overlaps_path, os.path.join(wrk_dir, "pw"),
                pw_opts, db=db)
 
-    spans: Dict[int, List[Tuple[int, int]]] = {}
-    for r in read_m4(overlaps_path):
-        spans.setdefault(r.qid - 1, []).append((r.qstart, r.qend))
-        spans.setdefault(r.sid - 1, []).append((r.sstart, r.send))
+    # columnar span load (native numeric parse; the per-record M4Record
+    # loop was a per-overlap host cost at scale), sorted by read id so each
+    # read's spans are one contiguous slice
+    cols = _m4_span_columns(overlaps_path)
+    rid = np.concatenate([cols[:, 0], cols[:, 1]]).astype(np.int64) - 1
+    sa = np.concatenate([cols[:, 5], cols[:, 9]]).astype(np.int64)
+    sb = np.concatenate([cols[:, 6], cols[:, 10]]).astype(np.int64)
+    order = np.argsort(rid, kind="stable")
+    rid, sa, sb = rid[order], sa[order], sb[order]
+    uniq, starts = np.unique(rid, return_index=True)
+    bounds = np.append(starts, len(rid))
+    slice_of = {int(r): (int(a), int(b))
+                for r, a, b in zip(uniq, bounds[:-1], bounds[1:])}
 
     with open(out_path, "wb") as fh:
         for i in range(db.n_reads):
             L = int(db.lengths[i])
+            lo, hi = slice_of.get(i, (0, 0))
             for k, (a, b) in enumerate(coverage_intervals(
-                    L, spans.get(i, []), opts.min_evidence,
+                    L, (sa[lo:hi], sb[lo:hi]), opts.min_evidence,
                     opts.min_trimmed_length)):
                 fh.write(format_fasta(f"{db.name(i)}_trim{k}",
                                       db.read(i)[a:b]))
