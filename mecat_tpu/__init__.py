@@ -36,4 +36,28 @@ def _configure_compilation_cache():
         pass
 
 
+def _configure_platform():
+    """Honor MECAT_TPU_PLATFORM=cpu|tpu|axon via the jax config API.
+
+    The JAX_PLATFORMS env var does NOT work on this sandbox: sitecustomize
+    imports jax and latches the 'axon' backend before user code runs, so a
+    CLI invoked with JAX_PLATFORMS=cpu still initialises the TPU tunnel
+    (and hangs if the device server is down).  The config API applies after
+    import, so this knob is the reliable way to run any CLI on the host
+    CPU (e.g. MECAT_TPU_PLATFORM=cpu python -m mecat_tpu.cli.mecat2pw ...).
+    """
+    import os
+
+    plat = os.environ.get("MECAT_TPU_PLATFORM")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:  # pragma: no cover - best-effort
+        pass
+
+
 _configure_compilation_cache()
+_configure_platform()
