@@ -190,8 +190,9 @@ def correct_slice_sharded(mesh, db: PackedDB, templates: List[int],
     T = len(templates)
     T_loc = -(-T // n_data)
     T_pad = T_loc * n_data
-    L_t = bucket_length(max(int(db.lengths[t]) for t in templates))
-    L_s = bucket_length(min(int(db.lengths.max()), 3 * L_t))
+    L_t = bucket_length(max(int(db.lengths[t]) for t in templates),
+                        pow2=True)
+    L_s = bucket_length(min(int(db.lengths.max()), 3 * L_t), pow2=True)
     S, W = opts.align_segment, opts.align_band
     msegs = max_segs_for(min(max(L_t, L_s), int(1.4 * L_t) + 2 * S), S)
     P_b = opts.extend_batch

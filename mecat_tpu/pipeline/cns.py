@@ -422,7 +422,8 @@ def plan_table_slices(db: PackedDB, templates: List[int],
     if cap is None:
         cap = int(os.environ.get("MECAT_TPU_CNS_TABLE_BYTES", 1 << 29))
     D1 = C.MAX_INS_DELTA + 1
-    L_t_all = bucket_length(max(int(db.lengths[t]) for t in templates))
+    L_t_all = bucket_length(max(int(db.lengths[t]) for t in templates),
+                            pow2=True)
     if len(templates) * L_t_all * D1 * 5 * 4 <= cap:
         return [list(templates)]
     by_len = sorted(templates, key=lambda t: int(db.lengths[t]))
@@ -431,7 +432,7 @@ def plan_table_slices(db: PackedDB, templates: List[int],
     while a < len(by_len):
         b = a + 1
         while b < len(by_len):
-            L_t_b = bucket_length(int(db.lengths[by_len[b]]))
+            L_t_b = bucket_length(int(db.lengths[by_len[b]]), pow2=True)
             if (b + 1 - a) * L_t_b * D1 * 5 * 4 > cap:
                 break
             b += 1
@@ -558,12 +559,13 @@ def _dispatch_slice_device(db: PackedDB, templates: List[int],
     import jax.numpy as jnp
 
     T = len(templates)
-    L_t = bucket_length(max(int(db.lengths[t]) for t in templates))
+    L_t = bucket_length(max(int(db.lengths[t]) for t in templates),
+                        pow2=True)
     # supports are seed-windowed inside the chunk: their shape is bounded by
     # the template, not by the longest support read.  Bound by the DB-WIDE
     # max read length (not the slice's) so L_s is a pure function of L_t —
     # every distinct jit shape costs a 30-100 s remote compile here.
-    L_s = bucket_length(min(int(db.lengths.max()), 3 * L_t))
+    L_s = bucket_length(min(int(db.lengths.max()), 3 * L_t), pow2=True)
     S, W = opts.align_segment, opts.align_band
     # per-DIRECTION consumption is bounded by ~1.4x the template (the
     # support window is 3x L_t only to cover asymmetric seeds); sizing the

@@ -11,18 +11,22 @@ from ..io.packed_db import _REVCOMP, PackedDB
 from ..ops.align import Q_SENTINEL, T_SENTINEL
 
 
-def bucket_length(n: int, minimum: int = 1024) -> int:
+def bucket_length(n: int, minimum: int = 1024, pow2: bool = False) -> int:
     """Padded length >= n from a coarse bucket ladder (powers of two and
-    their 1.5x midpoints, multiples of 1024).
+    their 1.5x midpoints, multiples of 1024; ``pow2=True`` drops the
+    midpoints).
 
     Shapes are jit keys and compiles on this system are expensive remote
     calls: per-batch max-length padding caused a recompile for nearly every
     batch (each ~50 s), so lengths snap to O(log) buckets at <= 33% padding
-    waste instead.
+    waste instead.  The cns table path uses the pow2-only ladder: each
+    bucket compiles a whole program family (~80-240 s of measured stalls
+    per bucket on the E. coli run), and halving the bucket count beats the
+    extra ~9% padding on the table ops.
     """
     n = max(n, minimum)
     p = 1 << max(10, (n - 1).bit_length())
-    b = p if n > 3 * p // 4 else 3 * p // 4
+    b = p if (pow2 or n > 3 * p // 4) else 3 * p // 4
     return max(minimum, int(math.ceil(b / 1024)) * 1024)
 
 
