@@ -129,35 +129,6 @@ def banded_dp_segment(q_seg: jnp.ndarray, t_seg: jnp.ndarray,
     return rows, moves
 
 
-def pick_end(rows: jnp.ndarray, seg_qlen: jnp.ndarray, tmax: jnp.ndarray,
-             W: int):
-    """Best band cell on the row where the segment's query chars run out.
-
-    Tie-break: minimal (distance, indels), then target advance closest to
-    the query advance (stay near the main diagonal).  TODO(ref): reference
-    tie-breaking unknown (mount empty); "modulo tie-breaking" per
-    BASELINE.json.
-    """
-    B = rows.shape[0]
-    half = W // 2
-    w_idx = jnp.arange(W, dtype=jnp.int32)
-    last = jnp.take_along_axis(
-        rows, seg_qlen[:, None, None].astype(jnp.int32), axis=1)[:, 0, :]
-    j = seg_qlen[:, None] - half + w_idx[None, :]
-    valid = (j >= 0) & (j <= tmax[:, None])
-    val = jnp.where(valid, last, VINF)
-    # lexicographic (val, |w-half|): scale by 2W without overflow by
-    # comparing float64-free: use (val - min) trick is overkill; val < 2^23
-    # in practice so val*(2W) stays in int32 for W <= 128.
-    key = val * (2 * W) + jnp.abs(w_idx[None, :] - half)
-    key = jnp.where(val >= VINF, jnp.int32(2 ** 31 - 1), key)
-    w_best = jnp.argmin(key, axis=1).astype(jnp.int32)
-    v_best = jnp.take_along_axis(val, w_best[:, None], axis=1)[:, 0]
-    d_best = jnp.where(v_best >= VINF, INF, v_best // IND_K)
-    j_best = seg_qlen - half + w_best
-    return w_best, j_best, d_best
-
-
 def pick_end_local(rows: jnp.ndarray, seg_qlen: jnp.ndarray,
                    tmax: jnp.ndarray, W: int,
                    penalty: int = C.ALIGN_TRIM_PENALTY):

@@ -4,14 +4,47 @@ import pytest
 
 jnp = pytest.importorskip("jax.numpy")
 
-from mecat_tpu.ops.align import (IND_K, banded_dp_segment, extend_pair_batch,
-                                 pick_end, traceback_counts,
+from mecat_tpu.ops.align import (IND_K, INF, VINF, banded_dp_segment,
+                                 extend_pair_batch, traceback_counts,
                                  Q_SENTINEL, T_SENTINEL)
 from mecat_tpu.io.packed_db import revcomp
 from mecat_tpu.utils.sim import mutate, random_genome
 
 W, S = 32, 64
 
+
+
+# Test-local reference model: simplest endpoint rule (best band cell on the
+# row where the query runs out).  The product path uses pick_end_local's
+# stop-on-degradation scoring; this minimal rule pins the DP/traceback
+# bookkeeping invariants independent of that policy.
+def pick_end(rows: jnp.ndarray, seg_qlen: jnp.ndarray, tmax: jnp.ndarray,
+             W: int):
+    """Best band cell on the row where the segment's query chars run out.
+
+    Tie-break: minimal (distance, indels), then target advance closest to
+    the query advance (stay near the main diagonal).  TODO(ref): reference
+    tie-breaking unknown (mount empty); "modulo tie-breaking" per
+    BASELINE.json.
+    """
+    B = rows.shape[0]
+    half = W // 2
+    w_idx = jnp.arange(W, dtype=jnp.int32)
+    last = jnp.take_along_axis(
+        rows, seg_qlen[:, None, None].astype(jnp.int32), axis=1)[:, 0, :]
+    j = seg_qlen[:, None] - half + w_idx[None, :]
+    valid = (j >= 0) & (j <= tmax[:, None])
+    val = jnp.where(valid, last, VINF)
+    # lexicographic (val, |w-half|): scale by 2W without overflow by
+    # comparing float64-free: use (val - min) trick is overkill; val < 2^23
+    # in practice so val*(2W) stays in int32 for W <= 128.
+    key = val * (2 * W) + jnp.abs(w_idx[None, :] - half)
+    key = jnp.where(val >= VINF, jnp.int32(2 ** 31 - 1), key)
+    w_best = jnp.argmin(key, axis=1).astype(jnp.int32)
+    v_best = jnp.take_along_axis(val, w_best[:, None], axis=1)[:, 0]
+    d_best = jnp.where(v_best >= VINF, INF, v_best // IND_K)
+    j_best = seg_qlen - half + w_best
+    return w_best, j_best, d_best
 
 def levenshtein_row(q, t):
     """Full DP table, returns D[len(q)][j] row (NumPy reference)."""
