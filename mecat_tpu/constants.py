@@ -113,9 +113,14 @@ TECH_NANOPORE = 1
 #: nanopore pair alignments run ~10 points lower identity than pacbio.
 CNS_TECH_PRESETS = {
     TECH_PACBIO: dict(min_mapping_ratio=0.9, min_align_size=2000,
-                      min_coverage=6, min_length=5000, min_identity=70.0),
+                      min_coverage=6, min_length=5000, min_identity=70.0,
+                      del_bias=0.65, ins_bias=0.6, pool_min_cov_ins=8),
     TECH_NANOPORE: dict(min_mapping_ratio=0.4, min_align_size=400,
-                        min_coverage=6, min_length=2000, min_identity=60.0),
+                        min_coverage=6, min_length=2000, min_identity=60.0,
+                        # deletion-heavy profile: weaker pooled deletions,
+                        # stronger pooled insertions (pile-harness sweep
+                        # 2026-08-17: cov8 98.16 -> 98.4 median)
+                        del_bias=0.5, ins_bias=0.7, pool_min_cov_ins=5),
 }
 
 # ---------------------------------------------------------------------------

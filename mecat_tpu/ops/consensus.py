@@ -15,7 +15,7 @@ compute next to the DP); kernelising it is a later perf-pass item.
 """
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -121,8 +121,33 @@ _POOL_MIN_COV_INS = int(__import__("os").environ.get(
     "MECAT_TPU_CNS_POOL_MIN_COV_INS", "8"))
 
 
+class VoteParams(NamedTuple):
+    """Pooled-rule tuning, per technology (hashable: jit-static on device).
+
+    Integer bias (1/100ths) so host and device share exact arithmetic.
+    Defaults come from the module globals (env-overridable); the -x tech
+    presets (constants.CNS_TECH_PRESETS) carry measured per-tech values —
+    nanopore's deletion-heavy error profile wants a weaker pooled-deletion
+    bias and a stronger pooled-insertion rule than PacBio
+    (tools/pile_harness sweeps 2026-08-17: nanopore cov8 98.16 -> 98.4+
+    with del 0.5 / ins 0.7 / min_cov_ins 5).
+    """
+
+    del_bias100: int
+    ins_bias100: int
+    pool_min_cov: int
+    pool_min_cov_ins: int
+
+
+def default_vote_params() -> "VoteParams":
+    return VoteParams(int(round(_DEL_BIAS * 100)),
+                      int(round(_INS_BIAS * 100)),
+                      _POOL_MIN_COV, _POOL_MIN_COV_INS)
+
+
 def _run_pooled_deletions(template: np.ndarray, counts: np.ndarray,
-                          coverage: np.ndarray, self_vote: int) -> np.ndarray:
+                          coverage: np.ndarray, self_vote: int,
+                          vote: Optional["VoteParams"] = None) -> np.ndarray:
     """Homopolymer-aware deletion mask (hybrid plurality + run pooling).
 
     Positions where GAP wins the per-position plurality are deleted as
@@ -155,14 +180,15 @@ def _run_pooled_deletions(template: np.ndarray, counts: np.ndarray,
     # integer arithmetic (exact; the device path computes the IDENTICAL
     # formula in int32, so it saturates first and uses the floored integer
     # mean coverage m): k = floor(G/m + bias), bias in 1/100ths
+    vote = vote or default_vote_params()
     m = np.maximum((cc[ends] - cc[starts]) // run_len + self_vote, 1)
-    b100 = int(round(_DEL_BIAS * 100))
+    b100 = vote.del_bias100
     sat = G >= m * (run_len + 1)
     G_c = np.minimum(G, m * (run_len + 1))
     k_pool = np.where(sat, run_len,
                       np.minimum((100 * G_c + b100 * m) // (100 * m),
                                  run_len)).astype(np.int64)
-    k_extra = np.where(m >= _POOL_MIN_COV,
+    k_extra = np.where(m >= vote.pool_min_cov,
                        np.maximum(k_pool - (cd[ends] - cd[starts]), 0), 0)
     karr = np.zeros(L, dtype=np.int64)
     karr[starts] = k_extra
@@ -177,7 +203,8 @@ _INS_BIAS = float(__import__("os").environ.get("MECAT_TPU_CNS_INS_BIAS",
 
 def _run_pooled_insertions(template: np.ndarray, counts: np.ndarray,
                            coverage: np.ndarray, ins_emit: np.ndarray,
-                           ins_win: np.ndarray, self_vote: int) -> np.ndarray:
+                           ins_win: np.ndarray, self_vote: int,
+                           vote: Optional["VoteParams"] = None) -> np.ndarray:
     """Extra run-letter insertions per template homopolymer run (pooled).
 
     Mirror image of _run_pooled_deletions: when the template MISSES a base
@@ -216,14 +243,16 @@ def _run_pooled_insertions(template: np.ndarray, counts: np.ndarray,
     E = E + np.where(
         has_left,
         (ins_emit[lw] & (ins_win[lw] == letters[:, None])).sum(axis=1), 0)
+    vote = vote or default_vote_params()
     run_len = np.maximum(ends - starts, 1)
     m = np.maximum((cc[ends] - cc[starts]) // run_len + self_vote, 1)
-    b100 = int(round(_INS_BIAS * 100))
+    b100 = vote.ins_bias100
     sat = I >= m * (run_len + 1)
     I_c = np.minimum(I, m * (run_len + 1))
     k_pool = np.where(sat, run_len,
                       (100 * I_c + b100 * m) // (100 * m))
-    k_extra = np.where(m >= _POOL_MIN_COV_INS, np.maximum(k_pool - E, 0), 0)
+    k_extra = np.where(m >= vote.pool_min_cov_ins,
+                       np.maximum(k_pool - E, 0), 0)
     out = np.zeros(L, dtype=np.int64)
     out[starts] = k_extra
     return out
@@ -269,8 +298,8 @@ class CnsTable:
         self.counts[np.arange(self.L), 0, self.template] += 1
 
     def call(self, min_coverage: int = C.DEFAULT_MIN_COVERAGE,
-             min_length: int = C.DEFAULT_MIN_CORRECTED_LENGTH
-             ) -> List[np.ndarray]:
+             min_length: int = C.DEFAULT_MIN_CORRECTED_LENGTH,
+             vote: Optional[VoteParams] = None) -> List[np.ndarray]:
         """Majority-vote a corrected sequence; split at low-coverage points.
 
         Coverage counts supports only (not the template's self-vote).
@@ -279,7 +308,8 @@ class CnsTable:
         cov_ok = self.coverage >= min_coverage
         base_win = np.argmax(self.counts[:, 0, :4], axis=1)      # [L] no GAP
         deleted = _run_pooled_deletions(self.template, self.counts,
-                                        self.coverage, self_vote=1)
+                                        self.coverage, self_vote=1,
+                                        vote=vote)
         # insertion slots: emitted when the majority of spanning supports
         # have an inserted base there; a run stops at the first non-emitted
         # delta (prefix rule)
@@ -295,7 +325,7 @@ class CnsTable:
         emit[:, 1:] = np.where(cov_ok[:, None] & ins_emit, ins_win, -1)
         extra = _run_pooled_insertions(self.template, self.counts,
                                        self.coverage, ins_emit, ins_win,
-                                       self_vote=1)
+                                       self_vote=1, vote=vote)
         _apply_extra_insertions(emit, extra, self.template, cov_ok)
 
         # split at low-coverage positions: segment id = running count of gaps

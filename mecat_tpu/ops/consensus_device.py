@@ -297,14 +297,15 @@ def accumulate_tags(counts: jnp.ndarray,        # int32 [T, L_t, D1, 5]
     return counts, cov_diff
 
 
-@partial(jax.jit, static_argnames=("keep_template",))
+@partial(jax.jit, static_argnames=("keep_template", "vote"))
 def call_tables(counts: jnp.ndarray,        # int32 [T, L, D1, 5]
                 cov_diff: jnp.ndarray,      # int32 [T, L + 1]
                 template: jnp.ndarray,      # uint8 [T, L] padded bases
                 tlen: jnp.ndarray,          # int32 [T]
                 has_support: jnp.ndarray,   # bool [T]
                 min_coverage: jnp.ndarray,
-                keep_template: bool = False):
+                keep_template: bool = False,
+                vote=None):                 # VoteParams (static) or None
     """Device replica of CnsTable.call's vote stage.
 
     Returns (emit int32 [T, L, D1] base code or -1, cov_ok bool [T, L]) —
@@ -329,7 +330,7 @@ def call_tables(counts: jnp.ndarray,        # int32 [T, L, D1, 5]
     base_win = jnp.argmax(counts[:, :, 0, :4], axis=2)        # [T, L] no GAP
     deleted = _run_pooled_deletions_dev(
         template.astype(jnp.int32), counts, coverage, tlen,
-        self_vote=0 if keep_template else 1)
+        self_vote=0 if keep_template else 1, vote=vote)
     ins_tot = jnp.sum(counts[:, :, 1:, :4], axis=3)           # [T, L, D1-1]
     ins_win = jnp.argmax(counts[:, :, 1:, :4], axis=3)
     ins_emit = jnp.cumprod(
@@ -345,7 +346,7 @@ def call_tables(counts: jnp.ndarray,        # int32 [T, L, D1, 5]
     ins_slots = jnp.where(cov_ok[:, :, None] & ins_emit, ins_win, -1)
     extra = _run_pooled_insertions_dev(
         template.astype(jnp.int32), counts, coverage, ins_emit, ins_win,
-        tlen, self_vote=0 if keep_template else 1)
+        tlen, self_vote=0 if keep_template else 1, vote=vote)
     gate = cov_ok if not keep_template else (coverage >= min_coverage)
     extra = jnp.where(gate, extra, 0)
     # fill the first `extra` FREE slots at each run start with the run letter
@@ -359,11 +360,12 @@ def call_tables(counts: jnp.ndarray,        # int32 [T, L, D1, 5]
 
 
 def _run_pooled_insertions_dev(template, counts, coverage, ins_emit,
-                               ins_win, tlen, self_vote: int):
+                               ins_win, tlen, self_vote: int, vote=None):
     """Device mirror of ops/consensus._run_pooled_insertions (exact):
     per-position count of EXTRA run-letter insertions, nonzero only at run
     starts."""
-    from ..ops.consensus import _INS_BIAS
+    from ..ops.consensus import default_vote_params
+    vote = vote or default_vote_params()
 
     T, L = template.shape
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -408,7 +410,7 @@ def _run_pooled_insertions_dev(template, counts, coverage, ins_emit,
     run_len = jnp.maximum(run_end - run_start, 1)
     m = jnp.maximum((cc[row, run_end] - cc[row, run_start]) // run_len
                     + self_vote, 1)
-    b100 = int(round(_INS_BIAS * 100))
+    b100 = vote.ins_bias100
     sat = I >= m * (run_len + 1)
     I_c = jnp.minimum(I, m * (run_len + 1))
     # floor((100*I + b*m)/(100*m)) == I//m + (100*(I%m) >= (100-b)*m):
@@ -417,21 +419,21 @@ def _run_pooled_insertions_dev(template, counts, coverage, ins_emit,
     k_pool = jnp.where(
         sat, run_len,
         I_c // m + (100 * (I_c % m) >= (100 - b100) * m).astype(jnp.int32))
-    from ..ops.consensus import _POOL_MIN_COV_INS
-    k_extra = jnp.where(m >= _POOL_MIN_COV_INS,
+    k_extra = jnp.where(m >= vote.pool_min_cov_ins,
                         jnp.maximum(k_pool - E, 0), 0)
     return jnp.where(pos == run_start, k_extra, 0)
 
 
 def _run_pooled_deletions_dev(template, counts, coverage, tlen,
-                              self_vote: int):
+                              self_vote: int, vote=None):
     """Device mirror of ops/consensus._run_pooled_deletions (exact).
 
     Hybrid plurality + homopolymer-run-pooled GAP votes: see the host
     docstring.  All segmented run quantities are prefix sums gathered at
     run starts/ends — [T, L] element gathers, once per table call.
     """
-    from ..ops.consensus import _DEL_BIAS
+    from ..ops.consensus import default_vote_params
+    vote = vote or default_vote_params()
 
     T, L = template.shape
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -464,7 +466,7 @@ def _run_pooled_deletions_dev(template, counts, coverage, tlen,
     # bit-for-bit with the host rule
     m = jnp.maximum((cc[row, run_end] - cc[row, run_start]).astype(jnp.int32)
                     // run_len + self_vote, 1)
-    b100 = int(round(_DEL_BIAS * 100))
+    b100 = vote.del_bias100
     sat = G >= m * (run_len + 1)
     G_c = jnp.minimum(G, m * (run_len + 1))
     # exact overflow-free decomposition (see the insertion rule above):
@@ -475,9 +477,8 @@ def _run_pooled_deletions_dev(template, counts, coverage, tlen,
             G_c // m + (100 * (G_c % m)
                         >= (100 - b100) * m).astype(jnp.int32),
             run_len)).astype(jnp.int32)
-    from ..ops.consensus import _POOL_MIN_COV
     k_extra = jnp.where(
-        m >= _POOL_MIN_COV,
+        m >= vote.pool_min_cov,
         jnp.maximum(k_pool - (cd[row, run_end]
                               - cd[row, run_start]).astype(jnp.int32), 0), 0)
     nd_rank = (cn[row, pos] - cn[row, run_start]).astype(jnp.int32)

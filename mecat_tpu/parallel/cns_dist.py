@@ -116,19 +116,20 @@ def _sharded_chunk(mesh, **statics):
     return fn
 
 
-def _sharded_call(mesh, L_t: int):
+def _sharded_call(mesh, L_t: int, vote=None):
     """shard_map-wrapped vote: gather template rows + call_tables locally."""
     import jax
     from jax.sharding import PartitionSpec as P
     from ..ops.consensus_device import call_tables
 
-    key = (id(mesh), L_t)
+    key = (id(mesh), L_t, vote)
     fn = _CALL_CACHE.get(key)
     if fn is None:
         def call(counts, cov_diff, vol_cat, starts, lengths, tmpl_ids,
                  tlen, has, min_cov):
             tmpl = _gather_rows_dev(vol_cat, starts, lengths, tmpl_ids, L_t)
-            return call_tables(counts, cov_diff, tmpl, tlen, has, min_cov)
+            return call_tables(counts, cov_diff, tmpl, tlen, has, min_cov,
+                               vote=vote)
 
         mapped = jax.shard_map(
             call, mesh=mesh,
@@ -257,7 +258,7 @@ def correct_slice_sharded(mesh, db: PackedDB, templates: List[int],
     tmpl_ids[:T] = np.asarray(templates, dtype=np.int32)
     tmpl_len = np.zeros(T_pad, np.int32)
     tmpl_len[:T] = np.minimum(db.lengths[np.asarray(templates)], L_t)
-    call = _sharded_call(mesh, L_t)
+    call = _sharded_call(mesh, L_t, vote=opts.vote_params())
     emit, cov_ok = call(counts, cov_diff, vol_cat, starts_d, lengths_d,
                         jax.device_put(tmpl_ids, sh_pairs),
                         jax.device_put(tmpl_len, sh_pairs), has,

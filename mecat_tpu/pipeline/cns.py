@@ -61,6 +61,34 @@ class CnsOptions:
     align_band: int = C.ALIGN_BAND
     extend_batch: int = 128
     min_identity: float = C.MIN_OVERLAP_IDENTITY
+    #: pooled vote-rule tuning (None -> env/builtin defaults); the -x tech
+    #: presets carry per-technology values — nanopore's deletion-heavy
+    #: profile wants a weaker pooled-deletion bias and a stronger pooled-
+    #: insertion rule (ops/consensus.VoteParams docstring, measured sweeps).
+    del_bias: Optional[float] = None
+    ins_bias: Optional[float] = None
+    pool_min_cov: Optional[int] = None
+    pool_min_cov_ins: Optional[int] = None
+
+    def vote_params(self):
+        """Resolved VoteParams (hashable; device jit-static) or None for
+        the env/builtin defaults."""
+        if (self.del_bias is None and self.ins_bias is None
+                and self.pool_min_cov is None
+                and self.pool_min_cov_ins is None):
+            return None
+        from ..ops.consensus import default_vote_params
+
+        d = default_vote_params()
+        return d._replace(
+            **{k: v for k, v in (
+                ("del_bias100", None if self.del_bias is None
+                 else int(round(self.del_bias * 100))),
+                ("ins_bias100", None if self.ins_bias is None
+                 else int(round(self.ins_bias * 100))),
+                ("pool_min_cov", self.pool_min_cov),
+                ("pool_min_cov_ins", self.pool_min_cov_ins),
+            ) if v is not None})
 
     @classmethod
     def for_tech(cls, tech: int, **overrides) -> "CnsOptions":
@@ -335,6 +363,7 @@ def correct_batch(db: PackedDB, templates: List[int],
     msegs = max_segs_for(max(L_t, L_s), S)
     P = opts.extend_batch
 
+    vote = opts.vote_params()
     tables: Dict[int, CnsTable] = {}
     for ofs in range(0, len(pairs), P):
         chunk = pairs[ofs:ofs + P]
@@ -401,7 +430,7 @@ def correct_batch(db: PackedDB, templates: List[int],
             continue
         table.add_template_votes()
         segs = table.call(min_coverage=opts.min_coverage,
-                          min_length=opts.min_length)
+                          min_length=opts.min_length, vote=vote)
         for k, seg in enumerate(segs):
             out.append((f"{db.name(t)}_{k}", seg))
             stats.corrected_reads += 1
@@ -617,7 +646,8 @@ def _dispatch_slice_device(db: PackedDB, templates: List[int],
 
     emit, cov_ok = call_tables(counts, cov_diff, tmpl_mat,
                                jnp.asarray(tmpl_len), has,
-                               jnp.int32(opts.min_coverage))
+                               jnp.int32(opts.min_coverage),
+                               vote=opts.vote_params())
     # squeeze the device-side transfer now but pull NOTHING yet: the int
     # count of non-empty insertion slots is the collector's first (tiny)
     # sync point
@@ -809,11 +839,14 @@ def run_cns(input_path: str, reads_path: str, out_path: str,
     """Full mecat2cns run.  Output is independent of both the template
     batching (-p) and the input spill mode: a streamed run's corrected
     FASTA is byte-identical to an in-memory run's (tests/test_cns.py)."""
+    from ..utils.metrics import Metrics
+
     opts = opts or CnsOptions()
     t0 = time.time()
     if db is None:
         db = PackedDB.from_fasta(reads_path)
     stats = CnsStats()
+    met = Metrics("cns")
     correct = _pick_correct_batch()
     kwargs = ({"dev_vol": device_volume(db)}
               if correct is correct_batch_device else {})
@@ -850,4 +883,14 @@ def run_cns(input_path: str, reads_path: str, out_path: str,
         with open(out_path, "wb") as fh:
             emit_batches(fh, by_template)
     stats.seconds = time.time() - t0
+    # structured throughput counters (north-star supports/s/chip — the
+    # driver-facing perf metric for this stage)
+    met.set("templates", stats.templates)
+    met.set("supports_aligned", stats.supports_aligned)
+    met.set("corrected_reads", stats.corrected_reads)
+    met.set("corrected_bases", stats.corrected_bases)
+    met.set("seconds", round(stats.seconds, 3))
+    met.set("supports_per_s",
+            round(stats.supports_aligned / max(stats.seconds, 1e-9), 1))
+    met.emit_summary()
     return stats

@@ -136,3 +136,47 @@ def test_assembly_driver_consumes_meryl(tmp_path):
     # spectrum computed at the overlapper's k, and the cutoff was wired in
     assert int(meryl["k"]) == pw.kmer_size
     assert pw.index_cutoff == int(meryl["cutoff"])
+
+
+def test_vote_params_per_tech():
+    """-x drives the pooled vote rules, and host/device agree under a
+    non-default VoteParams."""
+    from mecat_tpu.ops.consensus import (VoteParams, _run_pooled_deletions,
+                                         default_vote_params)
+    from mecat_tpu.ops.consensus_device import _run_pooled_deletions_dev
+
+    nano = CnsOptions.for_tech(C.TECH_NANOPORE).vote_params()
+    pac = CnsOptions.for_tech(C.TECH_PACBIO).vote_params()
+    assert nano != pac
+    assert CnsOptions().vote_params() is None       # env/builtin defaults
+    assert isinstance(default_vote_params(), VoteParams)
+
+    # a homopolymer run with split GAP votes: aggressive bias deletes one
+    # more position than the weak bias; device mirrors host bit-for-bit
+    rng = np.random.default_rng(17)
+    L = 64
+    template = np.zeros(L, np.uint8)
+    template[20:28] = 1                               # CCCCCCCC run
+    counts = np.zeros((L, 1, 5), np.int32)
+    counts[np.arange(L), 0, template] = 9             # matches everywhere
+    from mecat_tpu.ops.consensus import GAP
+    counts[20:28, 0, GAP] = 4                         # split deletion votes
+    counts[20:28, 0, 1] -= 4
+    coverage = np.full(L, 9, np.int32)
+    weak = VoteParams(10, 60, 5, 8)
+    strong = VoteParams(90, 60, 5, 8)
+    d_weak = _run_pooled_deletions(template, counts[:, :1], coverage, 1,
+                                   vote=weak)
+    d_strong = _run_pooled_deletions(template, counts[:, :1], coverage, 1,
+                                     vote=strong)
+    assert d_strong.sum() > d_weak.sum()
+    for v in (weak, strong):
+        host = _run_pooled_deletions(template, counts[:, :1], coverage, 1,
+                                     vote=v)
+        # device takes [T, L, D1, 5] counts without the self-vote added
+        dev = np.asarray(_run_pooled_deletions_dev(
+            jnp.asarray(template[None].astype(np.int32)),
+            jnp.asarray(counts[None]),
+            jnp.asarray(coverage[None] + 1),  # host m adds self_vote
+            jnp.asarray(np.array([L], np.int32)), self_vote=0, vote=v))[0]
+        np.testing.assert_array_equal(host, dev.astype(bool))

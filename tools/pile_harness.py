@@ -115,10 +115,19 @@ def main(argv=None):
     from mecat_tpu.utils.accuracy import edit_stats, identity_pct
     from mecat_tpu.utils.sim import random_genome
 
+    from mecat_tpu import constants as Cst
+
+    tech = (Cst.TECH_PACBIO if args.profile == "pacbio"
+            else Cst.TECH_NANOPORE)
+    preset = Cst.CNS_TECH_PRESETS[tech]
     opts = CnsOptions(min_align_size=500, min_length=500, min_coverage=4,
                       min_mapping_ratio=0.3, align_segment=args.segment,
                       align_band=args.band, extend_batch=32,
-                      min_identity=65.0)
+                      min_identity=65.0,
+                      # per-tech vote rules (scale gates stay harness-sized)
+                      del_bias=preset.get("del_bias"),
+                      ins_bias=preset.get("ins_bias"),
+                      pool_min_cov_ins=preset.get("pool_min_cov_ins"))
     rng = np.random.default_rng(args.seed)
     rows = []
     for p in range(args.piles):
