@@ -7,7 +7,7 @@ corrected reads + trimming contractually, minimal OLC assembly as the stretch
 goal — implemented here):
 
     gatekeeper → meryl → overlap(trim) → trim → overlap(asm) → ovstore
-    → unitig → consensus → output
+    → erate → unitig → consensus → output
 
 Reference parity points:
 * every stage emits a durable on-disk artifact and a ``<stage>.done`` marker;
@@ -36,6 +36,7 @@ from ..pipeline.pw import PwOptions, run_pw
 from ..pipeline.trim import TrimOptions, run_trim
 from ..utils.log import get_logger
 from .ctgcns import CtgCnsOptions, contig_consensus
+from .erate import estimate_read_erates
 from .ovstore import OverlapStore
 from .unitig import arrays_to_layouts, build_unitigs, layouts_to_arrays
 
@@ -48,6 +49,11 @@ class AsmOptions:
 
     genome_size: int = 0            # genomeSize= (0 = unknown; stats only)
     error_rate: float = 0.02        # ErrorRate= (corrected reads)
+    adjust_erates: bool = True      # overlapErrorAdjustment stage on/off
+    max_adj_erate: Optional[float] = None   # residual-erate overlap filter;
+    # default = max(0.05, 2.5 * error_rate) — generous vs the residual noise
+    # floor (binomial σ ≈ 0.003 at 5 kb span) so only repeat-induced
+    # overlaps, whose divergence per-read error cannot explain, are dropped
     do_trim: bool = True            # -trim-assemble
     min_read_length: int = 1000
     min_overlap_length: int = 500
@@ -191,11 +197,36 @@ def run_assembly(reads_path: str, prefix: str, wrk_dir: str,
     store = OverlapStore.load(ovs_prefix)
     report.n_overlaps = len(store)
 
+    # -- overlap error adjustment ------------------------------------------------
+    # (overlapErrorAdjustment role, SURVEY.md §2.2 row 13): estimate per-read
+    # error rates from the overlap pile, hand the unitigger residual-adjusted
+    # identities so edge ranking/filtering is insensitive to per-read noise.
+    adj_ident = None
+    min_ident = 0.0
+    if opts.adjust_erates and len(store) > 0:
+        st = Stage(wrk_dir, "erate", report)
+        er_path = path(prefix + ".erate.npz")
+        max_resid = (opts.max_adj_erate if opts.max_adj_erate is not None
+                     else max(0.05, 2.5 * opts.error_rate))
+        if not st.done:
+            res = estimate_read_erates(store)
+            np.savez(er_path, e=res.e, adj_identity=res.adj_identity,
+                     residual=res.residual)
+            st.finish(mean_erate=round(float(res.e.mean()), 5),
+                      max_resid=max_resid,
+                      dropped=int((res.residual > max_resid).sum()))
+        er = np.load(er_path)
+        adj_ident = er["adj_identity"]
+        min_ident = 100.0 * (1.0 - max_resid)
+        log.info("canu: erate mean=%.4f filter=adjusted identity >= %.2f",
+                 float(er["e"].mean()), min_ident)
+
     # -- unitig (bogart role) ---------------------------------------------------
     st = Stage(wrk_dir, "unitig", report)
     layout_path = path(prefix + ".layout.npz")
     if not st.done:
-        bog = build_unitigs(store, end_slack=opts.end_slack)
+        bog = build_unitigs(store, end_slack=opts.end_slack,
+                            min_identity=min_ident, identity=adj_ident)
         np.savez(layout_path, **layouts_to_arrays(bog.unitigs))
         st.finish(n_unitigs=len(bog.unitigs),
                   n_contained=int(bog.contained.sum()),

@@ -62,18 +62,22 @@ def _oriented_b(flip, bbeg, bend, blen):
 
 
 def classify(store: OverlapStore, end_slack: int = 100,
-             min_identity: float = 0.0):
+             min_identity: float = 0.0,
+             identity: Optional[np.ndarray] = None):
     """Vectorised overlap classification.
 
     Returns dict of bool arrays: contained (a in b), container (b in a),
     dove_right / dove_left (dovetail out of a's right/left end).
+    `identity` overrides the store column (e.g. erate-adjusted identities
+    from assembly/erate.py) for the min_identity gate.
     """
+    ident = store.identity if identity is None else identity
     ob, oe = _oriented_b(store.flip, store.bbeg, store.bend, store.blen)
     alh = store.abeg                      # a left hang
     arh = store.alen - store.aend         # a right hang
     blh = ob                              # oriented-b left hang
     brh = store.blen - oe                 # oriented-b right hang
-    ok = (store.identity >= min_identity) & (store.a != store.b)
+    ok = (ident >= min_identity) & (store.a != store.b)
 
     a_cov = (alh <= end_slack) & (arh <= end_slack)
     b_cov = (blh <= end_slack) & (brh <= end_slack)
@@ -89,11 +93,13 @@ def classify(store: OverlapStore, end_slack: int = 100,
                 dove_right=dove_right, dove_left=dove_left)
 
 
-def _best_edges(store: OverlapStore, use: np.ndarray, n_reads: int):
+def _best_edges(store: OverlapStore, use: np.ndarray, n_reads: int,
+                identity: Optional[np.ndarray] = None):
     """Best (max a-span, then identity, then min b) edge per a-read.
 
     Returns int64 row index per read (-1 = none).
     """
+    ident = store.identity if identity is None else identity
     best = np.full(n_reads, -1, dtype=np.int64)
     rows = np.nonzero(use)[0]
     if len(rows) == 0:
@@ -101,24 +107,29 @@ def _best_edges(store: OverlapStore, use: np.ndarray, n_reads: int):
     span = (store.aend[rows] - store.abeg[rows]).astype(np.int64)
     # lexicographic max by (span, identity, -b): sort rows so the best for
     # each a-read comes LAST, then store sequentially
-    order = np.lexsort((-store.b[rows], store.identity[rows], span))
+    order = np.lexsort((-store.b[rows], ident[rows], span))
     rows = rows[order]
     best[store.a[rows]] = rows
     return best
 
 
 def build_unitigs(store: OverlapStore, end_slack: int = 100,
-                  min_identity: float = 0.0) -> BogResult:
+                  min_identity: float = 0.0,
+                  identity: Optional[np.ndarray] = None) -> BogResult:
+    """`identity` (optional) replaces the store's raw identities for both
+    the min_identity gate and best-edge ranking — the erate-adjusted
+    identities of assembly/erate.py plug in here (SURVEY.md §2.2 row 13:
+    the unitigger consumes ADJUSTED error rates, not raw ones)."""
     n = store.n_reads
-    cls = classify(store, end_slack, min_identity)
+    cls = classify(store, end_slack, min_identity, identity)
 
     contained = np.zeros(n, dtype=bool)
     np.logical_or.at(contained, store.a[cls["contained"]], True)
 
     # dovetail edges to non-contained partners only
     live = ~contained[store.a] & ~contained[store.b]
-    best_r = _best_edges(store, cls["dove_right"] & live, n)
-    best_l = _best_edges(store, cls["dove_left"] & live, n)
+    best_r = _best_edges(store, cls["dove_right"] & live, n, identity)
+    best_l = _best_edges(store, cls["dove_left"] & live, n, identity)
     n_dove = int(np.count_nonzero(cls["dove_right"] & live)
                  + np.count_nonzero(cls["dove_left"] & live))
 
@@ -207,7 +218,7 @@ def build_unitigs(store: OverlapStore, end_slack: int = 100,
     for ui, u in enumerate(unitigs):
         for ri, lr in enumerate(u.rows):
             place[lr.read] = (ui, ri)
-    best_cont = _best_edges(store, cls["contained"], n)
+    best_cont = _best_edges(store, cls["contained"], n, identity)
     for c in np.nonzero(contained)[0]:
         row = int(best_cont[c])
         if row < 0:

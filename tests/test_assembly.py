@@ -176,8 +176,8 @@ def test_assembly_driver_end_to_end(tmp_path):
     assert cs in gs or cs_rc in gs or _identity_vs(gs, cs) > 0.98
 
     # resumability: stage markers exist; rerun skips everything quickly
-    for stage in ("gatekeeper", "meryl", "overlap", "ovstore", "unitig",
-                  "consensus", "output"):
+    for stage in ("gatekeeper", "meryl", "overlap", "ovstore", "erate",
+                  "unitig", "consensus", "output"):
         assert os.path.exists(os.path.join(wrk, stage + ".done")), stage
     report2 = run_assembly(reads_fa, "test", wrk, opts)
     assert report2.n_contigs == report.n_contigs
@@ -189,6 +189,79 @@ def _identity_vs(genome: str, contig: str) -> float:
     import difflib
     sm = difflib.SequenceMatcher(None, genome, contig, autojunk=False)
     return sm.ratio() * max(len(genome), len(contig)) / max(1, len(contig))
+
+
+def test_erate_estimator_recovers_read_errors(tmp_path):
+    """Jacobi least-squares recovers heterogeneous per-read error rates from
+    pairwise divergences d_ab = e_a + e_b (+ binomial sampling noise)."""
+    from mecat_tpu.assembly.erate import estimate_read_erates
+
+    rng = np.random.default_rng(41)
+    n = 60
+    e_true = rng.uniform(0.005, 0.06, n)
+    recs = []
+    for _ in range(n * 8):          # ~16 overlaps/read after symmetrisation
+        a, b = rng.choice(n, size=2, replace=False)
+        span = int(rng.integers(3000, 9000))
+        d = e_true[a] + e_true[b]
+        # binomial sampling noise of observing d over `span` columns
+        d_obs = rng.binomial(span, min(d, 0.5)) / span
+        recs.append(_m4(int(a), int(b), (0, span), (0, span), 10000, 10000,
+                        ident=100.0 * (1.0 - d_obs)))
+    m4p = str(tmp_path / "e.m4")
+    write_records(m4p, recs)
+    store = OverlapStore.from_m4(m4p, n)
+    res = estimate_read_erates(store)
+    assert res.e.shape == (n,)
+    err = np.abs(res.e - e_true)
+    assert float(err.max()) < 0.01
+    assert float(err.mean()) < 0.003
+    # residuals of true overlaps are noise-centred near zero
+    assert float(np.abs(res.residual).mean()) < 0.005
+    assert np.allclose(res.adj_identity,
+                       100.0 * (1.0 - np.maximum(res.residual, 0)))
+
+
+def test_erate_adjustment_levels_the_field(tmp_path):
+    """Adjusted filtering rescues a noisy read's true overlap and drops a
+    repeat-induced overlap between clean reads — the opposite of what any
+    single RAW-identity cutoff can do (the true overlap's raw identity is
+    LOWER than the false one's)."""
+    from mecat_tpu.assembly.erate import estimate_read_erates
+
+    rng = np.random.default_rng(42)
+    n = 40
+    e_true = np.full(n, 0.01)
+    e_true[0] = 0.10                 # one very noisy read
+    recs = []
+    for _ in range(n * 8):
+        a, b = rng.choice(n, size=2, replace=False)
+        d = e_true[a] + e_true[b]
+        recs.append(_m4(int(a), int(b), (0, 5000), (0, 5000), 8000, 8000,
+                        ident=100.0 * (1.0 - d)))
+    # read 0's true overlap: d = 0.11 → raw identity 89.0
+    recs.append(_m4(0, 1, (0, 5000), (0, 5000), 8000, 8000, ident=89.0))
+    true_row = len(recs) - 1
+    # repeat-induced false overlap between clean reads: d = 0.08 → raw 92.0
+    recs.append(_m4(2, 3, (0, 5000), (0, 5000), 8000, 8000, ident=92.0))
+    false_row = len(recs) - 1
+    m4p = str(tmp_path / "f.m4")
+    write_records(m4p, recs)
+    store = OverlapStore.from_m4(m4p, n)
+    res = estimate_read_erates(store)
+    # locate the two rows in the symmetrised store
+    t = np.nonzero((store.a == 0) & (store.b == 1))[0]
+    f = np.nonzero((store.a == 2) & (store.b == 3))[0]
+    assert len(t) >= 1 and len(f) >= 1
+    t_resid = float(res.residual[t].min())
+    f_resid = float(res.residual[f].min())
+    assert t_resid < 0.02            # true overlap: residual ≈ 0 (rescued)
+    assert f_resid > 0.04            # false overlap: residual ≈ 0.06 (dropped)
+    # no raw cutoff separates them (89.0 true < 92.0 false), adjusted does
+    assert store.identity[t[0]] < store.identity[f[0]]
+    keep = res.residual <= 0.04
+    assert keep[t[0]] and not keep[f[0]]
+    del true_row, false_row
 
 
 def test_meryl_spectrum_and_cutoff():
