@@ -502,3 +502,45 @@ def split_called(emit_row, cov_ok_row, tlen: int, min_length: int):
         return []
     cut = np.nonzero(np.diff(segs))[0] + 1
     return [s for s in np.split(bases, cut) if len(s) >= min_length]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def pack_emit_cov(emit: jnp.ndarray, cov_ok: jnp.ndarray, k: int):
+    """Transfer-layer packing of the per-slice emit pull.
+
+    The emit array ([T, L, k] values in -1..4 after the insertion-prefix
+    truncation) and the cov_ok bools are the ONLY arrays mecat2cns pulls per
+    table slice, and the device->host tunnel on this system runs at ~8 MB/s
+    (CLAUDE.md) — so bytes ARE wall time.  Values fit a nibble (+1 -> 0..5):
+    pack L-adjacent pairs into one uint8 (2x), and cov_ok into bits (8x).
+    unpack_emit_cov is the exact inverse; the device-vs-host differential
+    tests (tests/test_cns_device.py) run through this path byte-for-byte.
+    """
+    e = (emit[:, :, :k] + 1).astype(jnp.uint8)
+    T, L, _ = e.shape
+    if L % 2:
+        e = jnp.pad(e, ((0, 0), (0, 1), (0, 0)))
+    packed = (e[:, 0::2] | (e[:, 1::2] << 4)).astype(jnp.uint8)
+    c = cov_ok.astype(jnp.int32)
+    pad = (-L) % 8
+    if pad:
+        c = jnp.pad(c, ((0, 0), (0, pad)))
+    cbits = (c.reshape(T, -1, 8) << jnp.arange(8, dtype=jnp.int32)).sum(
+        axis=2).astype(jnp.uint8)
+    return packed, cbits
+
+
+def unpack_emit_cov(packed, cbits, L: int):
+    """Host inverse of pack_emit_cov -> (emit int8 [T, L, k], cov bool [T, L])."""
+    import numpy as np
+
+    packed = np.asarray(packed)
+    lo = (packed & 0xF).astype(np.int8) - 1
+    hi = (packed >> 4).astype(np.int8) - 1
+    T, Lh, k = packed.shape
+    e = np.empty((T, 2 * Lh, k), np.int8)
+    e[:, 0::2] = lo
+    e[:, 1::2] = hi
+    cov = np.unpackbits(np.asarray(cbits), axis=1,
+                        bitorder="little")[:, :L].astype(bool)
+    return e[:, :L], cov

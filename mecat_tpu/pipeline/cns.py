@@ -662,15 +662,17 @@ def _collect_slice_device(db: PackedDB, pending, opts: CnsOptions,
     Pulls only the delta slots that actually emitted anything: insertion
     runs longer than 1-2 are vanishingly rare, and the [T, L, 16] int8 pull
     was the dominant per-slice transfer (the prefix rule makes the
-    truncation exact — dropped slots are all -1)."""
-    import jax.numpy as jnp
-
-    from ..ops.consensus_device import split_called
+    truncation exact — dropped slots are all -1).  The surviving arrays are
+    nibble/bit-packed on device (pack_emit_cov) so the tunnel carries ~2.2x
+    fewer bytes; unpacked exactly on the host."""
+    from ..ops.consensus_device import (pack_emit_cov, split_called,
+                                        unpack_emit_cov)
 
     templates, emit, cov_ok, has, n_ins = pending
     max_ins = int(n_ins)
-    emit = np.asarray(emit[:, :, :max_ins + 1].astype(jnp.int8))
-    cov_ok = np.asarray(cov_ok)
+    L = emit.shape[1]
+    packed, cbits = pack_emit_cov(emit, cov_ok, max_ins + 1)
+    emit, cov_ok = unpack_emit_cov(packed, cbits, L)
     has_support = np.asarray(has)
 
     for i, t in enumerate(templates):
