@@ -109,3 +109,20 @@ def test_device_support_windows_mixed_lengths(tmp_path):
     dev_d = {n: s.tobytes() for n, s in dev}
     assert len(host_d) > 0
     assert host_d == dev_d
+
+
+@pytest.mark.parametrize("T,L,k", [(3, 257, 1), (2, 64, 5), (1, 7, 16)])
+def test_pack_emit_cov_roundtrip(T, L, k):
+    """Transfer-layer nibble/bit packing is an exact inverse pair across
+    odd/even L, bit-boundary L, and every slot-count regime."""
+    import jax.numpy as jnp
+
+    from mecat_tpu.ops.consensus_device import pack_emit_cov, unpack_emit_cov
+
+    rng = np.random.default_rng(L * 31 + k)
+    emit = rng.integers(-1, 5, size=(T, L, 16), dtype=np.int8)
+    cov = rng.integers(0, 2, size=(T, L)).astype(bool)
+    packed, cbits = pack_emit_cov(jnp.asarray(emit), jnp.asarray(cov), k)
+    e2, c2 = unpack_emit_cov(packed, cbits, L)
+    assert np.array_equal(e2, emit[:, :, :k])
+    assert np.array_equal(c2, cov)
