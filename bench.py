@@ -33,8 +33,18 @@ if _SCALING:
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
-
 import jax
+
+if _SCALING:
+    # Force the CPU platform BEFORE the backend initialises: probing a
+    # single-chip (or unreachable) accelerator platform here would either
+    # hang on a downed tunnel or yield a 1-device mesh that cannot scale.
+    # Ambient JAX_PLATFORMS (the sandbox exports axon) is deliberately
+    # ignored; a real multi-chip slice opts in with MECAT_TPU_PLATFORM.
+    # Must go through the config API — sitecustomize imports jax before this
+    # file runs, so mutating the JAX_PLATFORMS env var here is too late.
+    if not os.environ.get("MECAT_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
@@ -165,8 +175,6 @@ def main():
 
 if __name__ == "__main__":
     if _SCALING:
-        if len(jax.devices()) < 2:
-            jax.config.update("jax_platforms", "cpu")
         from mecat_tpu.utils.scaling import main as scaling_main
 
         sys.exit(scaling_main())

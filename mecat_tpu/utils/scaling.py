@@ -120,9 +120,15 @@ def scaling_report(mesh_shapes: Optional[List[Tuple[int, int]]] = None,
 
 def main(argv=None) -> int:
     rows = scaling_report()
+    eff_rows = [r for r in rows if r.get("scaling_efficiency") is not None]
+    best_at_max = None
+    if eff_rows:
+        n_max = max(r["n_devices"] for r in eff_rows)
+        best_at_max = max(r["scaling_efficiency"] for r in eff_rows
+                          if r["n_devices"] == n_max)
     print(json.dumps({
         "metric": "sharded overlap step strong-scaling report",
-        "value": rows[-1].get("scaling_efficiency"),
+        "value": best_at_max,
         "unit": "efficiency@max_devices",
         "rows": rows,
     }))
