@@ -114,13 +114,24 @@ TECH_NANOPORE = 1
 CNS_TECH_PRESETS = {
     TECH_PACBIO: dict(min_mapping_ratio=0.9, min_align_size=2000,
                       min_coverage=6, min_length=5000, min_identity=70.0,
-                      del_bias=0.65, ins_bias=0.6, pool_min_cov_ins=8),
+                      del_bias=0.65, ins_bias=0.6, pool_min_cov_ins=8,
+                      # window-pooled insertion rule (short-tandem-repeat
+                      # vote scattering; tools/diag_dels.py): strict
+                      # thresholds — the ins-heavy profile has more noise
+                      # insertion mass (sweep 2026-08-18: cov25
+                      # 99.647 -> 99.702 median, seeds 1/7/11)
+                      win_radius=4, win_mass_frac=0.6, win_peak_frac=0.35),
     TECH_NANOPORE: dict(min_mapping_ratio=0.4, min_align_size=400,
                         min_coverage=6, min_length=2000, min_identity=60.0,
                         # deletion-heavy profile: weaker pooled deletions,
                         # stronger pooled insertions (pile-harness sweep
                         # 2026-08-17: cov8 98.16 -> 98.4 median)
-                        del_bias=0.5, ins_bias=0.7, pool_min_cov_ins=5),
+                        del_bias=0.5, ins_bias=0.7, pool_min_cov_ins=5,
+                        # looser window rule: restoring template-deleted
+                        # bases dominates (sweep 2026-08-18: cov24
+                        # 98.92 -> 99.36, cov16 98.68 -> 99.09, cov8
+                        # 98.07 -> 98.56 median, validated seeds 7/11)
+                        win_radius=4, win_mass_frac=0.4, win_peak_frac=0.2),
 }
 
 # ---------------------------------------------------------------------------

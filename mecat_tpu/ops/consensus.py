@@ -131,12 +131,28 @@ class VoteParams(NamedTuple):
     bias and a stronger pooled-insertion rule than PacBio
     (tools/pile_harness sweeps 2026-08-17: nanopore cov8 98.16 -> 98.4+
     with del 0.5 / ins 0.7 / min_cov_ins 5).
+
+    win_radius > 0 enables the WINDOW-POOLED single-insertion rule
+    (tools/diag_dels.py 2026-08-18): when the template drops a base inside
+    a short tandem repeat, every support restores the length with an
+    equal-edit-cost insertion whose anchor/letter DIFFER per support
+    (insert C@p == insert G@p+k inside a p-periodic repeat), so no single
+    (pos, delta, base) slot reaches plurality and the base stays lost —
+    75% of the residual-deletion floor at nanopore cov 24.  The rule pools
+    insertion votes over a +-win_radius window; at a strict local peak
+    with no emitted insertion nearby, window mass above
+    win_mass_frac100/100 of coverage and a peak slot above
+    win_peak_frac100/100 of coverage emit ONE insertion of the peak
+    slot's letter.
     """
 
     del_bias100: int
     ins_bias100: int
     pool_min_cov: int
     pool_min_cov_ins: int
+    win_radius: int = 0
+    win_mass_frac100: int = 50
+    win_peak_frac100: int = 25
 
 
 def default_vote_params() -> "VoteParams":
@@ -258,6 +274,53 @@ def _run_pooled_insertions(template: np.ndarray, counts: np.ndarray,
     return out
 
 
+def _window_pooled_insertions(counts: np.ndarray, coverage: np.ndarray,
+                              emit: np.ndarray, gate: np.ndarray,
+                              vote: "VoteParams") -> None:
+    """Window-pooled single-insertion rule (see VoteParams docstring).
+
+    Pools insertion votes over +-win_radius; at a strict-left/weak-right
+    local peak with no emitted insertion in the window, sufficient window
+    mass, and a sufficiently strong single peak slot, emits ONE insertion
+    of the peak slot's letter into the first free slot (in place).
+    Integer arithmetic; the device path computes the IDENTICAL rule
+    (ops/consensus_device._window_pooled_insertions_dev).
+    """
+    R = vote.win_radius
+    if R <= 0:
+        return
+    L, D1, _ = counts.shape
+    if L == 0:
+        return
+    sv = counts[:, 1:, :4].astype(np.int32)                 # [L, D-1, 4]
+    v_pos = sv.sum(axis=(1, 2), dtype=np.int32)             # [L]
+    already = (emit[:, 1:] >= 0).any(axis=1)
+    mass = v_pos.copy()
+    near = already.copy()
+    lmax = np.zeros(L, np.int32)            # max over [p-R, p-1]
+    rmax = np.zeros(L, np.int32)            # max over [p+1, p+R]
+    for s in range(1, R + 1):
+        mass[s:] += v_pos[:-s]
+        mass[:-s] += v_pos[s:]
+        near[s:] |= already[:-s]
+        near[:-s] |= already[s:]
+        lmax[s:] = np.maximum(lmax[s:], v_pos[:-s])
+        rmax[:-s] = np.maximum(rmax[:-s], v_pos[s:])
+    flat = sv.reshape(L, -1)
+    best = flat.max(axis=1)
+    bbase = (flat.argmax(axis=1) % 4).astype(np.int32)      # first-max tie
+    cov = np.maximum(coverage.astype(np.int32), 1)
+    fire = (gate & ~near & (v_pos > lmax) & (v_pos >= rmax)
+            & (100 * mass > vote.win_mass_frac100 * cov)
+            & (100 * best >= vote.win_peak_frac100 * cov)
+            & (best >= 2))
+    for p in np.nonzero(fire)[0]:
+        for d in range(1, D1):
+            if emit[p, d] < 0:
+                emit[p, d] = int(bbase[p])
+                break
+
+
 def _apply_extra_insertions(emit: np.ndarray, extra: np.ndarray,
                             template: np.ndarray, gate: np.ndarray) -> None:
     """Fill up to `extra[s]` free insertion slots at each run start s with
@@ -327,6 +390,8 @@ class CnsTable:
                                        self.coverage, ins_emit, ins_win,
                                        self_vote=1, vote=vote)
         _apply_extra_insertions(emit, extra, self.template, cov_ok)
+        _window_pooled_insertions(self.counts, self.coverage, emit, cov_ok,
+                                  vote or default_vote_params())
 
         # split at low-coverage positions: segment id = running count of gaps
         seg_id = np.repeat(np.cumsum(~cov_ok), D1)

@@ -355,8 +355,59 @@ def call_tables(counts: jnp.ndarray,        # int32 [T, L, D1, 5]
     fill = free & (frank <= extra[:, :, None])
     ins_slots = jnp.where(fill, template.astype(jnp.int32)[:, :, None],
                           ins_slots)
+    if not keep_template:
+        ins_slots = _window_pooled_insertions_dev(counts, coverage,
+                                                  ins_slots, cov_ok, vote)
     emit = emit.at[:, :, 1:].set(ins_slots)
     return emit, cov_ok
+
+
+def _window_pooled_insertions_dev(counts, coverage, ins_slots, gate,
+                                  vote=None):
+    """Device mirror of ops/consensus._window_pooled_insertions (exact).
+
+    counts [T, L, D1, 5], coverage/gate [T, L], ins_slots [T, L, D1-1]
+    (post run-pool fill).  Emits the peak slot's letter into the first
+    free slot at strict local peaks of windowed insertion mass.
+    """
+    from ..ops.consensus import default_vote_params
+    vote = vote or default_vote_params()
+    R = int(vote.win_radius)
+    if R <= 0:
+        return ins_slots
+    T, L, D1, _ = counts.shape
+    sv = counts[:, :, 1:, :4].astype(jnp.int32)
+    v_pos = jnp.sum(sv, axis=(2, 3))                          # [T, L]
+    already = jnp.any(ins_slots >= 0, axis=2)
+    mass, near = v_pos, already
+    lmax = jnp.zeros((T, L), jnp.int32)
+    rmax = jnp.zeros((T, L), jnp.int32)
+    zc = jnp.zeros((T, 1), jnp.int32)
+    zb = jnp.zeros((T, 1), bool)
+
+    def sl(x, s, z):  # x shifted right by s (left-neighbour view), z pad
+        return jnp.concatenate([jnp.repeat(z, s, axis=1), x[:, :-s]], axis=1)
+
+    def sr(x, s, z):  # x shifted left by s (right-neighbour view)
+        return jnp.concatenate([x[:, s:], jnp.repeat(z, s, axis=1)], axis=1)
+
+    for s in range(1, R + 1):
+        mass = mass + sl(v_pos, s, zc) + sr(v_pos, s, zc)
+        near = near | sl(already, s, zb) | sr(already, s, zb)
+        lmax = jnp.maximum(lmax, sl(v_pos, s, zc))
+        rmax = jnp.maximum(rmax, sr(v_pos, s, zc))
+    flat = sv.reshape(T, L, -1)
+    best = jnp.max(flat, axis=2)
+    bbase = (jnp.argmax(flat, axis=2) % 4).astype(jnp.int32)  # first-max tie
+    cov = jnp.maximum(coverage.astype(jnp.int32), 1)
+    fire = (gate & ~near & (v_pos > lmax) & (v_pos >= rmax)
+            & (100 * mass > vote.win_mass_frac100 * cov)
+            & (100 * best >= vote.win_peak_frac100 * cov)
+            & (best >= 2))
+    free = ins_slots < 0
+    first_free = free & (jnp.cumsum(free.astype(jnp.int32), axis=2) == 1)
+    return jnp.where(fire[:, :, None] & first_free, bbase[:, :, None],
+                     ins_slots)
 
 
 def _run_pooled_insertions_dev(template, counts, coverage, ins_emit,

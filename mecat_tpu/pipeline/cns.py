@@ -69,13 +69,17 @@ class CnsOptions:
     ins_bias: Optional[float] = None
     pool_min_cov: Optional[int] = None
     pool_min_cov_ins: Optional[int] = None
+    win_radius: Optional[int] = None
+    win_mass_frac: Optional[float] = None
+    win_peak_frac: Optional[float] = None
 
     def vote_params(self):
         """Resolved VoteParams (hashable; device jit-static) or None for
         the env/builtin defaults."""
         if (self.del_bias is None and self.ins_bias is None
                 and self.pool_min_cov is None
-                and self.pool_min_cov_ins is None):
+                and self.pool_min_cov_ins is None
+                and self.win_radius is None):
             return None
         from ..ops.consensus import default_vote_params
 
@@ -88,6 +92,11 @@ class CnsOptions:
                  else int(round(self.ins_bias * 100))),
                 ("pool_min_cov", self.pool_min_cov),
                 ("pool_min_cov_ins", self.pool_min_cov_ins),
+                ("win_radius", self.win_radius),
+                ("win_mass_frac100", None if self.win_mass_frac is None
+                 else int(round(self.win_mass_frac * 100))),
+                ("win_peak_frac100", None if self.win_peak_frac is None
+                 else int(round(self.win_peak_frac * 100))),
             ) if v is not None})
 
     @classmethod

@@ -126,3 +126,27 @@ def test_pack_emit_cov_roundtrip(T, L, k):
     e2, c2 = unpack_emit_cov(packed, cbits, L)
     assert np.array_equal(e2, emit[:, :, :k])
     assert np.array_equal(c2, cov)
+
+
+def test_device_matches_host_window_rule(pile):
+    """Exact host/device agreement with the window-pooled insertion rule
+    ON (win_radius > 0, nanopore-preset-shaped thresholds)."""
+    db, by_t = pile
+    templates = sorted(by_t)
+    opts = CnsOptions(min_align_size=300, min_length=500, extend_batch=32,
+                      align_segment=128, align_band=64,
+                      win_radius=4, win_mass_frac=0.4, win_peak_frac=0.2)
+    host = correct_batch(db, templates, by_t, opts, CnsStats())
+    dev = list(correct_batch_device(db, templates, by_t, opts, CnsStats()))
+    host_d = {n: s for n, s in host}
+    dev_d = {n: s for n, s in dev}
+    assert set(host_d) == set(dev_d)
+    for n in host_d:
+        assert np.array_equal(host_d[n], dev_d[n]), n
+    # the rule must actually bind on this pile vs radius 0 (different
+    # output somewhere), otherwise this test is vacuous
+    opts0 = CnsOptions(min_align_size=300, min_length=500, extend_batch=32,
+                       align_segment=128, align_band=64)
+    base = {n: s.tobytes() for n, s in
+            correct_batch(db, templates, by_t, opts0, CnsStats())}
+    assert {n: s.tobytes() for n, s in host} != base

@@ -106,6 +106,14 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--segment", type=int, default=128)
     ap.add_argument("--band", type=int, default=64)
+    # vote-rule overrides (default: the -x tech preset values) — sweep knobs
+    ap.add_argument("--del-bias", type=float, default=None)
+    ap.add_argument("--ins-bias", type=float, default=None)
+    ap.add_argument("--pool-min-cov", type=int, default=None)
+    ap.add_argument("--pool-min-cov-ins", type=int, default=None)
+    ap.add_argument("--win-radius", type=int, default=None)
+    ap.add_argument("--win-mass-frac", type=float, default=None)
+    ap.add_argument("--win-peak-frac", type=float, default=None)
     args = ap.parse_args(argv)
 
     import jax
@@ -125,9 +133,26 @@ def main(argv=None):
                       align_band=args.band, extend_batch=32,
                       min_identity=65.0,
                       # per-tech vote rules (scale gates stay harness-sized)
-                      del_bias=preset.get("del_bias"),
-                      ins_bias=preset.get("ins_bias"),
-                      pool_min_cov_ins=preset.get("pool_min_cov_ins"))
+                      del_bias=(args.del_bias if args.del_bias is not None
+                                else preset.get("del_bias")),
+                      ins_bias=(args.ins_bias if args.ins_bias is not None
+                                else preset.get("ins_bias")),
+                      pool_min_cov=(args.pool_min_cov
+                                    if args.pool_min_cov is not None
+                                    else preset.get("pool_min_cov")),
+                      pool_min_cov_ins=(
+                          args.pool_min_cov_ins
+                          if args.pool_min_cov_ins is not None
+                          else preset.get("pool_min_cov_ins")),
+                      win_radius=(args.win_radius
+                                  if args.win_radius is not None
+                                  else preset.get("win_radius")),
+                      win_mass_frac=(args.win_mass_frac
+                                     if args.win_mass_frac is not None
+                                     else preset.get("win_mass_frac")),
+                      win_peak_frac=(args.win_peak_frac
+                                     if args.win_peak_frac is not None
+                                     else preset.get("win_peak_frac")))
     rng = np.random.default_rng(args.seed)
     rows = []
     for p in range(args.piles):
