@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--align-segment", type=int, default=C.ALIGN_SEGMENT)
     p.add_argument("--align-band", type=int, default=C.ALIGN_BAND)
     p.add_argument("--extend-batch", type=int, default=128)
+    p.add_argument("--rounds", type=int, default=1,
+                   help="correction rounds: 2 realigns the raw supports "
+                        "against the round-1 draft (higher accuracy, ~2x "
+                        "alignment time)")
     p.add_argument("input", help="candidates/M4 file from mecat2pw")
     p.add_argument("reads", help="raw reads FASTA/FASTQ")
     p.add_argument("output", help="corrected reads FASTA")
@@ -54,7 +58,8 @@ def main(argv=None) -> int:
         min_mapping_ratio=args.min_mapping_ratio,
         min_align_size=args.min_align_size, min_coverage=args.min_coverage,
         min_length=args.min_length, align_segment=args.align_segment,
-        align_band=args.align_band, extend_batch=args.extend_batch)
+        align_band=args.align_band, extend_batch=args.extend_batch,
+        rounds=args.rounds)
     stats = run_cns(args.input, args.reads, args.output, opts)
     log.info("done: %d templates, %d supports aligned, %d corrected reads "
              "(%d bases) in %.1fs", stats.templates, stats.supports_aligned,

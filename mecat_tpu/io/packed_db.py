@@ -150,6 +150,33 @@ class PackedDB:
     def name(self, i: int) -> str:
         return self.names[i] if self.names else str(i)
 
+    def append(self, records: Iterable[FastaRecord]) -> "PackedDB":
+        """New PackedDB with `records` appended after the existing reads.
+
+        Existing read ids keep their offsets (a device volume built from
+        the old db stays valid as a prefix); appended read i gets id
+        n_reads + i.  Used by iterative correction (cns rounds > 1) to add
+        pass-k drafts as template reads without touching support ids.
+        """
+        recs = list(records)
+        if not recs:
+            return self
+        tail_lengths = np.asarray([len(r.codes) for r in recs],
+                                  dtype=np.int32)
+        tail_starts = (self.total_bases
+                       + np.concatenate([[0], np.cumsum(
+                           tail_lengths[:-1], dtype=np.int64)]))
+        codes = np.concatenate(
+            [self.codes] + [np.asarray(r.codes, dtype=np.uint8)
+                            for r in recs])
+        names = ((list(self.names) if self.names
+                  else [str(i) for i in range(self.n_reads)])
+                 + [r.name for r in recs])
+        return PackedDB(codes=codes,
+                        starts=np.concatenate([self.starts, tail_starts]),
+                        lengths=np.concatenate([self.lengths, tail_lengths]),
+                        names=names)
+
     def subset(self, idx: Sequence[int]) -> "PackedDB":
         idx = np.asarray(idx, dtype=np.int64)
         chunks = [self.read(int(i)) for i in idx]

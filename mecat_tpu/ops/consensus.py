@@ -274,6 +274,22 @@ def _run_pooled_insertions(template: np.ndarray, counts: np.ndarray,
     return out
 
 
+def emit_to_draft(emit: np.ndarray):
+    """emit [L, D1] (-1 = empty) → (draft bases uint8, pos_map int32 [L+1]).
+
+    pos_map[p] = number of emitted bases at template positions < p, i.e.
+    the draft coordinate where old position p's content begins.  Shared by
+    the host call_draft and the device draft collector so pass-2 seed
+    remapping is one code path.
+    """
+    mask = emit >= 0
+    rows = mask.sum(axis=1)
+    pos_map = np.zeros(len(rows) + 1, dtype=np.int32)
+    pos_map[1:] = np.cumsum(rows).astype(np.int32)
+    flat = emit.reshape(-1)
+    return flat[flat >= 0].astype(np.uint8), pos_map
+
+
 def _window_pooled_insertions(counts: np.ndarray, coverage: np.ndarray,
                               emit: np.ndarray, gate: np.ndarray,
                               vote: "VoteParams") -> None:
@@ -403,6 +419,41 @@ class CnsTable:
             return []
         cut = np.nonzero(np.diff(segs))[0] + 1
         return [s for s in np.split(bases, cut) if len(s) >= min_length]
+
+    def call_draft(self, min_coverage: int = C.DEFAULT_MIN_COVERAGE,
+                   vote: Optional[VoteParams] = None):
+        """Full-length draft for iterative correction (rounds > 1).
+
+        Same vote rules as :meth:`call` (self-votes, pooled + window rules)
+        but NEVER splits: below-min-coverage positions keep the template
+        base verbatim, so pass-2 seed coordinates can be mapped through and
+        supports re-anchored.  Returns (draft uint8, pos_map int32 [L+1])
+        where pos_map[p] = draft index where old template position p's
+        content begins (cumulative emitted bases before p).
+        """
+        cov_ok = self.coverage >= min_coverage
+        base_win = np.argmax(self.counts[:, 0, :4], axis=1)
+        deleted = _run_pooled_deletions(self.template, self.counts,
+                                        self.coverage, self_vote=1,
+                                        vote=vote)
+        ins_tot = self.counts[:, 1:, :4].sum(axis=2)
+        ins_win = np.argmax(self.counts[:, 1:, :4], axis=2)
+        ins_emit = np.cumprod(
+            ins_tot * 2 > np.maximum(self.coverage, 1)[:, None],
+            axis=1).astype(bool)
+        D1 = self.counts.shape[1]
+        emit = np.full((self.L, D1), -1, dtype=np.int32)
+        emit[:, 0] = np.where(cov_ok,
+                              np.where(~deleted, base_win, -1),
+                              self.template)
+        emit[:, 1:] = np.where(cov_ok[:, None] & ins_emit, ins_win, -1)
+        extra = _run_pooled_insertions(self.template, self.counts,
+                                       self.coverage, ins_emit, ins_win,
+                                       self_vote=1, vote=vote)
+        _apply_extra_insertions(emit, extra, self.template, cov_ok)
+        _window_pooled_insertions(self.counts, self.coverage, emit, cov_ok,
+                                  vote or default_vote_params())
+        return emit_to_draft(emit)
 
     def call_polished(self, min_coverage: int = 2) -> np.ndarray:
         """Single polished sequence (contig-consensus / utgcns role).

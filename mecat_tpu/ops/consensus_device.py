@@ -297,7 +297,7 @@ def accumulate_tags(counts: jnp.ndarray,        # int32 [T, L_t, D1, 5]
     return counts, cov_diff
 
 
-@partial(jax.jit, static_argnames=("keep_template", "vote"))
+@partial(jax.jit, static_argnames=("keep_template", "draft_mode", "vote"))
 def call_tables(counts: jnp.ndarray,        # int32 [T, L, D1, 5]
                 cov_diff: jnp.ndarray,      # int32 [T, L + 1]
                 template: jnp.ndarray,      # uint8 [T, L] padded bases
@@ -305,6 +305,7 @@ def call_tables(counts: jnp.ndarray,        # int32 [T, L, D1, 5]
                 has_support: jnp.ndarray,   # bool [T]
                 min_coverage: jnp.ndarray,
                 keep_template: bool = False,
+                draft_mode: bool = False,
                 vote=None):                 # VoteParams (static) or None
     """Device replica of CnsTable.call's vote stage.
 
@@ -314,6 +315,11 @@ def call_tables(counts: jnp.ndarray,        # int32 [T, L, D1, 5]
     keep_template=True mirrors CnsTable.call_polished instead (contig
     consensus / utgcns role): template bases are kept verbatim where
     coverage is thin and there is no self-vote or splitting.
+
+    draft_mode=True mirrors CnsTable.call_draft (iterative correction,
+    rounds > 1): identical vote rules to the normal call, but thin-coverage
+    positions keep the template base so the draft is full-length and seed
+    coordinates can be mapped through (the host splits nothing).
     """
     T, L, D1, _ = counts.shape
     l_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -339,8 +345,13 @@ def call_tables(counts: jnp.ndarray,        # int32 [T, L, D1, 5]
 
     emit = jnp.full((T, L, D1), -1, jnp.int32)
     base0 = jnp.where(cov_ok & ~deleted, base_win, -1)
-    if keep_template:
+    if keep_template or draft_mode:
+        # thin coverage keeps the template verbatim (polish: always;
+        # draft: where the call path would leave a split gap)
         base0 = jnp.where(cov_ok, base0,
+                          jnp.where(in_read & has_support[:, None],
+                                    template.astype(jnp.int32), -1)
+                          if draft_mode else
                           jnp.where(in_read, template.astype(jnp.int32), -1))
     emit = emit.at[:, :, 0].set(base0)
     ins_slots = jnp.where(cov_ok[:, :, None] & ins_emit, ins_win, -1)

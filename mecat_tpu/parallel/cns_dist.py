@@ -305,6 +305,13 @@ def run_cns_dist(input_path: str, reads_path: str, out_path: str,
     import jax
 
     opts = opts or CnsOptions()
+    if int(getattr(opts, "rounds", 1)) > 1:
+        # iterative correction is single-process-path only so far; the
+        # sharded slice driver realigns once.  Fall back loudly rather
+        # than silently producing rounds=1 output under a rounds=2 flag.
+        log.warning("dist cns: rounds=%d requested but the sharded path "
+                    "runs a single round (TODO: draft pass over the mesh)",
+                    opts.rounds)
     os.makedirs(wrk_dir, exist_ok=True)
     t0 = time.time()
     pidx, pcount = init_distributed()

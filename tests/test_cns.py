@@ -244,3 +244,44 @@ def test_partition_supports_native_matches_fallback(cns_setup, monkeypatch):
             np.testing.assert_array_equal(part.get(t), whole.get(t))
             seen += 1
     assert seen == len(whole)
+
+
+# ---------------------------------------------------------------------------
+# iterative correction (rounds > 1)
+# ---------------------------------------------------------------------------
+def test_cns_rounds_improves_and_partition_invariant(cns_setup):
+    """rounds=2 realigns raw supports against the round-1 draft: accuracy
+    must not regress vs rounds=1, output must be independent of the
+    template partition size (drafts are built per template from
+    partition-local data only), and the rounds path must bind (differ
+    from rounds=1)."""
+    tmp, reads, db, truths, genome = cns_setup
+    ovl = str(tmp / "ovl.i0")   # built by test_cns_e2e[0]
+    import os
+    if not os.path.exists(ovl):
+        run_pw(reads, ovl, str(tmp / "wrkr"), PwOptions(task=0, **PW_OPTS))
+
+    out1 = str(tmp / "r1.fasta")
+    out2 = str(tmp / "r2.fasta")
+    out2b = str(tmp / "r2b.fasta")
+    run_cns(ovl, reads, out1, CnsOptions(input_type=0, **CNS_OPTS))
+    run_cns(ovl, reads, out2,
+            CnsOptions(input_type=0, rounds=2, **CNS_OPTS))
+    run_cns(ovl, reads, out2b,
+            CnsOptions(input_type=0, rounds=2, partition_size=5,
+                       **{k: v for k, v in CNS_OPTS.items()
+                          if k != "partition_size"}))
+    b1 = open(out1, "rb").read()
+    b2 = open(out2, "rb").read()
+    assert b2 != b1                       # the second round binds
+    assert open(out2b, "rb").read() == b2  # partition invariance
+
+    from mecat_tpu.io.packed_db import PackedDB
+    c1, c2 = PackedDB.from_fasta(out1), PackedDB.from_fasta(out2)
+    m1 = np.mean([x for x in
+                  (identity_to_genome(c1.read(i), genome)
+                   for i in range(min(8, c1.n_reads))) if x > 0])
+    m2 = np.mean([x for x in
+                  (identity_to_genome(c2.read(i), genome)
+                   for i in range(min(8, c2.n_reads))) if x > 0])
+    assert m2 >= m1 - 0.05, (m1, m2)

@@ -150,3 +150,32 @@ def test_device_matches_host_window_rule(pile):
     base = {n: s.tobytes() for n, s in
             correct_batch(db, templates, by_t, opts0, CnsStats())}
     assert {n: s.tobytes() for n, s in host} != base
+
+
+def test_device_matches_host_rounds(pile):
+    """rounds=2 iterative correction: device path equals host exactly
+    (drafts, seed remap, and final vote all flow through shared code)."""
+    from mecat_tpu.pipeline.cns import correct_batch_rounds
+
+    db, by_t = pile
+    templates = sorted(by_t)
+    opts = CnsOptions(min_align_size=300, min_length=500, extend_batch=32,
+                      align_segment=128, align_band=64, rounds=2)
+    host = list(correct_batch_rounds(db, templates, by_t, opts, CnsStats(),
+                                     correct=correct_batch))
+    dev = list(correct_batch_rounds(db, templates, by_t, opts, CnsStats(),
+                                    correct=correct_batch_device))
+    assert len(host) > 0
+    assert {n: s.tobytes() for n, s in host} == \
+        {n: s.tobytes() for n, s in dev}
+    # stats: supports aligned twice, templates counted once
+    sh = CnsStats()
+    list(correct_batch_rounds(db, templates, by_t, opts, sh,
+                              correct=correct_batch))
+    s1 = CnsStats()
+    correct_batch(db, templates, by_t,
+                  CnsOptions(min_align_size=300, min_length=500,
+                             extend_batch=32, align_segment=128,
+                             align_band=64), s1)
+    assert sh.templates == s1.templates
+    assert sh.supports_aligned > s1.supports_aligned

@@ -40,6 +40,8 @@ def main(argv=None):
     ap.add_argument("--ncand", type=int, default=100)
     ap.add_argument("--max-score", type=int, default=None,
                     help="cap scored reads for a faster accuracy pass")
+    ap.add_argument("--rounds", type=int, default=1,
+                    help="cns correction rounds (2 = realign vs draft)")
     args = ap.parse_args(argv)
 
     d = args.dir
@@ -73,11 +75,15 @@ def main(argv=None):
     summary["candidates"] = n_cand
     print(f"candidates: {n_cand}", flush=True)
 
-    corrected = os.path.join(d, "corrected.fasta")
+    corrected = os.path.join(d, "corrected.fasta"
+                             if args.rounds <= 1 else
+                             f"corrected.r{args.rounds}.fasta")
     if not os.path.exists(corrected):
         summary["cns_seconds"] = round(sh(
             py + ["mecat_tpu.cli.mecat2cns", "-i", "0", "-x", str(args.tech),
+                  "--rounds", str(args.rounds),
                   cand, reads, corrected]), 1)
+    summary["rounds"] = args.rounds
 
     from mecat_tpu.utils.accuracy import corrected_accuracy
     t0 = time.time()
