@@ -116,20 +116,20 @@ def _sharded_chunk(mesh, **statics):
     return fn
 
 
-def _sharded_call(mesh, L_t: int, vote=None):
+def _sharded_call(mesh, L_t: int, draft_mode: bool = False, vote=None):
     """shard_map-wrapped vote: gather template rows + call_tables locally."""
     import jax
     from jax.sharding import PartitionSpec as P
     from ..ops.consensus_device import call_tables
 
-    key = (id(mesh), L_t, vote)
+    key = (id(mesh), L_t, draft_mode, vote)
     fn = _CALL_CACHE.get(key)
     if fn is None:
         def call(counts, cov_diff, vol_cat, starts, lengths, tmpl_ids,
                  tlen, has, min_cov):
             tmpl = _gather_rows_dev(vol_cat, starts, lengths, tmpl_ids, L_t)
             return call_tables(counts, cov_diff, tmpl, tlen, has, min_cov,
-                               vote=vote)
+                               draft_mode=draft_mode, vote=vote)
 
         mapped = jax.shard_map(
             call, mesh=mesh,
@@ -174,6 +174,50 @@ def _iter_addressable_rows(arrs):
         yield r0, [np.asarray(a.addressable_shards[i].data) for a in arrs]
 
 
+def append_device_volume_mesh(dev_vol, tail_db: PackedDB, n_old_reads: int,
+                              mesh):
+    """Mesh twin of pipeline/cns.append_device_volume: extend the
+    REPLICATED volume with the appended drafts (2-bit-packed upload,
+    jit-ted unpack+concat with a replicated output sharding, so it is
+    identical single- and multi-controller)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    vol_cat, starts_d, lengths_d, n_bases = dev_vol
+    tail_start = int(tail_db.starts[n_old_reads])
+    tail_codes = tail_db.codes[tail_start:]
+    tail_lengths = tail_db.lengths[n_old_reads:]
+    n = len(tail_codes)
+    m = -(-max(n, 1) // 4) * 4
+    buf = tail_codes
+    if m != n:
+        buf = np.zeros(m, dtype=np.uint8)
+        buf[:n] = tail_codes
+    packed = jax.device_put(pack_2bit(buf), rep)
+    base = int(vol_cat.shape[0])
+    slack = int(3 * int(tail_lengths.max()) + 1024)
+
+    @partial(jax.jit, static_argnames=("n", "slack"), out_shardings=rep)
+    def extend(vol, p, n: int, slack: int):
+        quads = jnp.stack([p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3],
+                          axis=1)
+        tail = quads.reshape(-1)[:n].astype(vol.dtype)
+        return jnp.concatenate(
+            [vol, tail, jnp.zeros((slack,), dtype=vol.dtype)])
+
+    vol2 = extend(vol_cat, packed, n=n, slack=slack)
+    starts2 = jax.device_put(
+        np.concatenate([np.asarray(starts_d),
+                        (base + (tail_db.starts[n_old_reads:] - tail_start)
+                         ).astype(np.int32)]), rep)
+    lengths2 = jax.device_put(
+        np.concatenate([np.asarray(lengths_d), tail_lengths]), rep)
+    return vol2, starts2, lengths2, n_bases
+
+
 def correct_slice_sharded(mesh, db: PackedDB, templates: List[int],
                           by_template, opts: CnsOptions, stats: CnsStats,
                           dev_vol):
@@ -181,6 +225,72 @@ def correct_slice_sharded(mesh, db: PackedDB, templates: List[int],
 
     Yields (name, segment) records for THIS process's addressable template
     rows only — the caller writes them to its per-host shard file.
+
+    opts.rounds > 1 runs the iterative-correction draft passes first
+    (pipeline/cns.CnsOptions.rounds): each non-final pass votes in
+    draft_mode, REPLICATES the emit arrays over the mesh (an all-gather of
+    a few MB) so every process derives the identical drafts, appends them
+    to its local PackedDB copy + the replicated device volume, and remaps
+    seeds — then the final pass proceeds exactly as a single round.
+    """
+    from ..ops.consensus import emit_to_draft
+    from ..pipeline.cns import append_drafts
+
+    rounds = max(1, int(getattr(opts, "rounds", 1)))
+    cur_db, cur_ids, cur_by, cur_vol = db, list(templates), by_template, \
+        dev_vol
+    for _ in range(rounds - 1):
+        scratch = CnsStats()
+        emit, cov_ok, has = _slice_tables(mesh, cur_db, cur_ids, cur_by,
+                                          opts, scratch, cur_vol,
+                                          draft_mode=True, replicate=True)
+        stats.supports_aligned += scratch.supports_aligned
+        emit_h = np.asarray(emit)
+        has_h = np.asarray(has)
+        drafts = {}
+        for i, t in enumerate(cur_ids):
+            if not bool(has_h[i]):
+                continue
+            tl = int(cur_db.lengths[t])
+            drafts[t] = emit_to_draft(emit_h[i][:tl])
+        if not drafts:
+            break
+        cur_db, cur_ids, cur_by, n_old = append_drafts(
+            cur_db, cur_ids, cur_by, drafts)
+        cur_vol = append_device_volume_mesh(cur_vol, cur_db, n_old, mesh)
+
+    emit, cov_ok, has = _slice_tables(mesh, cur_db, cur_ids, cur_by, opts,
+                                      stats, cur_vol)
+
+    from ..ops.consensus_device import split_called
+
+    for r0, (emit_b, cov_b, has_b) in _iter_addressable_rows(
+            [emit, cov_ok, has]):
+        for i in range(emit_b.shape[0]):
+            row = r0 + i
+            if row >= len(cur_ids):
+                continue
+            t = cur_ids[row]
+            stats.templates += 1
+            if not bool(has_b[i]):
+                continue
+            segs = split_called(emit_b[i], cov_b[i], int(cur_db.lengths[t]),
+                                opts.min_length)
+            for k, seg in enumerate(segs):
+                stats.corrected_reads += 1
+                stats.corrected_bases += len(seg)
+                yield (f"{cur_db.name(t)}_{k}", seg)
+
+
+def _slice_tables(mesh, db: PackedDB, templates: List[int],
+                  by_template, opts: CnsOptions, stats: CnsStats,
+                  dev_vol, draft_mode: bool = False,
+                  replicate: bool = False):
+    """Fold one slice's support chunks and vote, template-sharded.
+
+    Returns (emit int8 [T_pad, L_t, k+1], cov_ok, has) — sharded over
+    'data', or fully replicated when ``replicate=True`` (draft passes: the
+    host-side draft derivation must be identical on every process).
     """
     import jax
     import jax.numpy as jnp
@@ -258,7 +368,8 @@ def correct_slice_sharded(mesh, db: PackedDB, templates: List[int],
     tmpl_ids[:T] = np.asarray(templates, dtype=np.int32)
     tmpl_len = np.zeros(T_pad, np.int32)
     tmpl_len[:T] = np.minimum(db.lengths[np.asarray(templates)], L_t)
-    call = _sharded_call(mesh, L_t, vote=opts.vote_params())
+    call = _sharded_call(mesh, L_t, draft_mode=draft_mode,
+                         vote=opts.vote_params())
     emit, cov_ok = call(counts, cov_diff, vol_cat, starts_d, lengths_d,
                         jax.device_put(tmpl_ids, sh_pairs),
                         jax.device_put(tmpl_len, sh_pairs), has,
@@ -268,25 +379,11 @@ def correct_slice_sharded(mesh, db: PackedDB, templates: List[int],
     max_ins = int(jax.jit(lambda e: jnp.max(jnp.sum(
         (e[:, :, 1:] >= 0).astype(jnp.int32), axis=2)))(emit))
     emit = emit[:, :, :max_ins + 1].astype(jnp.int8)
-
-    from ..ops.consensus_device import split_called
-
-    for r0, (emit_b, cov_b, has_b) in _iter_addressable_rows(
-            [emit, cov_ok, has]):
-        for i in range(emit_b.shape[0]):
-            row = r0 + i
-            if row >= T:
-                continue
-            t = templates[row]
-            stats.templates += 1
-            if not bool(has_b[i]):
-                continue
-            segs = split_called(emit_b[i], cov_b[i], int(db.lengths[t]),
-                                opts.min_length)
-            for k, seg in enumerate(segs):
-                stats.corrected_reads += 1
-                stats.corrected_bases += len(seg)
-                yield (f"{db.name(t)}_{k}", seg)
+    if replicate:
+        rep = NamedSharding(mesh, P())
+        gather = jax.jit(lambda *xs: xs, out_shardings=(rep, rep, rep))
+        emit, cov_ok, has = gather(emit, cov_ok, has)
+    return emit, cov_ok, has
 
 
 def run_cns_dist(input_path: str, reads_path: str, out_path: str,
@@ -305,13 +402,6 @@ def run_cns_dist(input_path: str, reads_path: str, out_path: str,
     import jax
 
     opts = opts or CnsOptions()
-    if int(getattr(opts, "rounds", 1)) > 1:
-        # iterative correction is single-process-path only so far; the
-        # sharded slice driver realigns once.  Fall back loudly rather
-        # than silently producing rounds=1 output under a rounds=2 flag.
-        log.warning("dist cns: rounds=%d requested but the sharded path "
-                    "runs a single round (TODO: draft pass over the mesh)",
-                    opts.rounds)
     os.makedirs(wrk_dir, exist_ok=True)
     t0 = time.time()
     pidx, pcount = init_distributed()

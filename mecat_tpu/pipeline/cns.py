@@ -924,6 +924,41 @@ def append_device_volume(dev_vol, tail_db: PackedDB, n_old_reads: int):
     return (vol2, starts2, lengths2, n_bases)
 
 
+def append_drafts(cur_db: PackedDB, cur_ids: List[int], cur_by,
+                  drafts: Dict[int, Tuple[np.ndarray, np.ndarray]]):
+    """Append round-k drafts as fresh template reads and remap seeds.
+
+    Shared by the single-path rounds driver and the sharded one
+    (parallel/cns_dist.py): templates without a draft keep their original
+    id; drafted template t becomes a new read with t's NAME, and every
+    support seed's template coordinate maps through the draft's emit map.
+    Returns (new_db, new_ids, new_by, n_old_reads).
+    """
+    from ..io.fasta import FastaRecord
+
+    recs, new_ids, new_by = [], [], {}
+    base_id = cur_db.n_reads
+    for t in cur_ids:
+        d = drafts.get(t)
+        if d is None or len(d[0]) == 0:
+            new_ids.append(t)
+            if t in cur_by:
+                new_by[t] = cur_by[t]
+            continue
+        draft, pos_map = d
+        nid = base_id + len(recs)
+        recs.append(FastaRecord(cur_db.name(t), draft))
+        new_ids.append(nid)
+        lim = len(draft) - 1
+        new_by[nid] = [
+            (s, sdir, spos,
+             min(int(pos_map[min(int(ts), len(pos_map) - 1)]), lim),
+             score)
+            for (s, sdir, spos, ts, score) in cur_by.get(t, [])]
+    n_old = cur_db.n_reads
+    return cur_db.append(recs), new_ids, new_by, n_old
+
+
 def correct_batch_rounds(db: PackedDB, templates: List[int],
                          by_template: Dict[int, List[Support]],
                          opts: CnsOptions, stats: CnsStats,
@@ -937,8 +972,6 @@ def correct_batch_rounds(db: PackedDB, templates: List[int],
     the output is independent of template partitioning exactly like the
     single-round path.  The final round runs the normal voting + splitting.
     """
-    from ..io.fasta import FastaRecord
-
     correct = correct or _pick_correct_batch()
     device = correct is correct_batch_device
     rounds = max(1, int(opts.rounds))
@@ -958,30 +991,10 @@ def correct_batch_rounds(db: PackedDB, templates: List[int],
         stats.supports_aligned += scratch.supports_aligned
         if not drafts:
             break
-        recs, new_ids, new_by = [], [], {}
-        base_id = cur_db.n_reads
-        for t in cur_ids:
-            d = drafts.get(t)
-            if d is None or len(d[0]) == 0:
-                new_ids.append(t)
-                if t in cur_by:
-                    new_by[t] = cur_by[t]
-                continue
-            draft, pos_map = d
-            nid = base_id + len(recs)
-            recs.append(FastaRecord(cur_db.name(t), draft))
-            new_ids.append(nid)
-            lim = len(draft) - 1
-            new_by[nid] = [
-                (s, sdir, spos,
-                 min(int(pos_map[min(int(ts), len(pos_map) - 1)]), lim),
-                 score)
-                for (s, sdir, spos, ts, score) in cur_by.get(t, [])]
-        n_old = cur_db.n_reads
-        cur_db = cur_db.append(recs)
+        cur_db, cur_ids, cur_by, n_old = append_drafts(
+            cur_db, cur_ids, cur_by, drafts)
         if device:
             cur_vol = append_device_volume(cur_vol, cur_db, n_old)
-        cur_ids, cur_by = new_ids, new_by
     kwargs = {"dev_vol": cur_vol} if device else {}
     out = correct(cur_db, cur_ids, cur_by, opts, stats, **kwargs)
     yield from (out if device else iter(out))

@@ -109,3 +109,22 @@ def test_dist_cns_two_processes(sim):
         sp = os.path.join(str(d), "wrk_mp_cns", f"cns_shard_p{p}.fasta")
         assert os.path.exists(sp)
         assert os.path.getsize(sp) > 0
+
+
+def test_dist_cns_rounds_matches_single(sim):
+    """Iterative correction over the mesh: rounds=2 sharded output must be
+    record-exact vs single-device rounds=2 (drafts derived from REPLICATED
+    emit arrays; seeds remapped identically on every process)."""
+    d, reads, cand, db = sim
+    single = str(d / "single_r2.fasta")
+    run_cns(cand, reads, single, CnsOptions(rounds=2, **CNS_OPTS), db=db)
+    dist = str(d / "dist_r2.fasta")
+    stats = run_cns_dist(cand, reads, dist, str(d / "wrk_dr2"),
+                         CnsOptions(rounds=2, **CNS_OPTS), n_data=8, db=db)
+    s, m = _records(single), _records(dist)
+    assert stats.corrected_reads == len(m) > 0
+    assert s == m
+    # and rounds must bind vs the rounds=1 outputs of the base test
+    base = str(d / "single.fasta")
+    if os.path.exists(base):
+        assert _records(base) != s
