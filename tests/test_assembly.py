@@ -355,3 +355,59 @@ def test_polish_tiled_matches_host(monkeypatch):
     dev = _polish_contig_device(db, tig, backbone, opts)
     host = _polish_contig_host(db, tig, backbone, opts)
     assert np.array_equal(dev, host)
+
+
+def test_raw_noisy_reads_to_contigs(tmp_path):
+    """FULL stack on noisy reads: simulate → mecat2pw → mecat2cns
+    (rounds=2) → assembly driver → contig vs truth genome.
+
+    This is the README pipeline end-to-end at miniature scale — the other
+    e2e tests cover stages in isolation or with error-free reads."""
+    from mecat_tpu.assembly.driver import AsmOptions, run_assembly
+    from mecat_tpu.assembly.ctgcns import CtgCnsOptions
+    from mecat_tpu.pipeline.cns import CnsOptions, run_cns
+    from mecat_tpu.pipeline.pw import PwOptions, run_pw
+    from mecat_tpu.utils.sim import simulate_reads
+
+    genome = random_genome(20000, seed=81)
+    db, _ = simulate_reads(genome, 60, mean_len=2500, min_len=1500,
+                           seed=82, error_rate=0.08)
+    reads_fa = str(tmp_path / "reads.fasta")
+    write_fasta(reads_fa, [(db.name(i), db.read(i))
+                           for i in range(db.n_reads)])
+    cand = str(tmp_path / "cand.txt")
+    pw_opts = dict(kmer_size=9, scan_stride=4, num_candidates=16,
+                   scan_batch=16, extend_batch=32, min_align_size=400)
+    run_pw(reads_fa, cand, str(tmp_path / "wrk_pw"),
+           PwOptions(task=0, **pw_opts), db=db)
+    corrected = str(tmp_path / "corrected.fasta")
+    stats = run_cns(cand, reads_fa, corrected,
+                    CnsOptions(input_type=0, rounds=2, min_align_size=400,
+                               min_coverage=4, min_length=1000,
+                               min_mapping_ratio=0.3, align_segment=128,
+                               align_band=64, extend_batch=32,
+                               min_identity=65.0), db=db)
+    assert stats.corrected_reads >= 0.6 * db.n_reads
+
+    wrk = str(tmp_path / "asm")
+    report = run_assembly(
+        corrected, "noisy", wrk,
+        AsmOptions(do_trim=False, min_read_length=800,
+                   min_overlap_length=400, min_contig_length=2000,
+                   pw=PwOptions(task=1, **pw_opts),
+                   cns=CtgCnsOptions(extend_batch=16)))
+    assert report.n_contigs >= 1
+    contigs = PackedDB.from_fasta(os.path.join(wrk, "noisy.contigs.fasta"))
+    longest = contigs.read(int(np.argmax(contigs.lengths)))
+    assert len(longest) >= 0.6 * len(genome)
+    # exact banded infix alignment of the contig against the truth genome
+    # (utils/accuracy) — _identity_vs overestimates for partial coverage
+    from mecat_tpu.utils.accuracy import edit_stats, identity_pct
+    ident = max(
+        identity_pct(edit_stats(longest, genome, band=1024, mode=1),
+                     len(longest)),
+        identity_pct(edit_stats(revcomp(longest), genome, band=1024,
+                                mode=1), len(longest)))
+    # corrected reads are ~99.9% (rounds=2); the polished contig must not
+    # be worse than its inputs by more than noise
+    assert ident > 99.5, ident
