@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--align-segment", type=int, default=C.ALIGN_SEGMENT)
     p.add_argument("--align-band", type=int, default=C.ALIGN_BAND)
     p.add_argument("--diag-bin", type=int, default=C.DDF_DIAG_BIN)
+    p.add_argument("--rounds", type=int, default=1,
+                   help="cns correction rounds (2 = realign vs draft)")
     p.add_argument("--resume", action="store_true", default=True,
                    help="skip stages whose output artifact already exists")
     p.add_argument("--no-resume", dest="resume", action="store_false")
@@ -107,7 +109,8 @@ def main(argv=None) -> int:
             min_length=args.min_length,
             align_segment=args.align_segment,
             align_band=args.align_band,
-            extend_batch=args.extend_batch)))
+            extend_batch=args.extend_batch,
+            rounds=args.rounds)))
     stage("extract", extracted,
           lambda: _extract_to(corrected, extracted, args))
     stage("asm-overlaps", asm_ovl, lambda: run_pw(
