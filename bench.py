@@ -83,7 +83,7 @@ def build_workload():
     return db, idx
 
 
-def run_on(device, db, idx, n_batches):
+def run_on(device, db, idx, n_batches, collect_supports=False):
     from mecat_tpu.io.packed_db import upload_codes
     from mecat_tpu.pipeline.device_step import overlap_step
 
@@ -104,12 +104,15 @@ def run_on(device, db, idx, n_batches):
                     jnp.asarray(np.arange(bi * B, (bi + 1) * B,
                                           dtype=np.int32)))
 
-        # warmup/compile
+        # warmup/compile (timed separately: the remote-compile cache state is
+        # the main round-over-round noise source — report, don't mix in)
+        t_c = time.time()
         a = batch_args(0)
         out = overlap_step(a[0], a[1], a[2], dev["vol_codes"], dev["offsets"],
                            dev["pos_rid"], dev["pos_loc"], dev["read_starts"],
                            dev["read_lengths"], cutoff, **CFG)
         jax.block_until_ready(out)
+        compile_s = time.time() - t_c
 
         # pre-stage host batches once (the weak sandbox host must not sit on
         # the timed path), then dispatch all steps async and sync at the end
@@ -130,20 +133,87 @@ def run_on(device, db, idx, n_batches):
         overlaps = int(np.asarray(
             jnp.sum(jnp.stack([jnp.sum(v) for v in outs]))))
         dt = time.time() - t0
-    return overlaps, dt
+
+        supports = None
+        if collect_supports:
+            # pull full outputs of a few batches -> cns bench support table
+            supports = []
+            for bi in range(min(4, n_cycle)):
+                a = staged[bi % len(staged)]
+                o = overlap_step(
+                    a[0], a[1], a[2], dev["vol_codes"], dev["offsets"],
+                    dev["pos_rid"], dev["pos_loc"], dev["read_starts"],
+                    dev["read_lengths"], cutoff, **CFG)
+                supports.append((np.asarray(a[2]),
+                                 {f: np.asarray(getattr(o, f))
+                                  for f in ("target", "score", "qseed",
+                                            "tseed", "valid")}))
+    return overlaps, dt, compile_s, supports
+
+
+def run_cns(db, supports):
+    """Device consensus bench: supports/s/chip on real pw-produced piles.
+
+    The support table comes from the fused overlap step's own output
+    (real seeds/scores, forward strand), so the cns chunk sees the same
+    pile shapes the production pipeline feeds it (BASELINE.json north star:
+    'overlaps/s/chip + corrected reads/s')."""
+    from mecat_tpu import constants as Cst
+    from mecat_tpu.pipeline.cns import (CnsOptions, CnsStats,
+                                        correct_batch_device, device_volume)
+
+    max_templates = int(os.environ.get("BENCH_CNS_TEMPLATES", 64))
+    by_template = {}
+    for qids, o in supports:
+        b, n = np.nonzero(o["valid"])
+        for qid, tgt, score, qs, ts in zip(
+                qids[b], o["target"][b, n], o["score"][b, n],
+                o["qseed"][b, n], o["tseed"][b, n]):
+            if int(qid) != int(tgt):
+                by_template.setdefault(int(tgt), []).append(
+                    (int(qid), 0, int(qs), int(ts), int(score)))
+    templates = sorted(
+        (t for t, s in by_template.items() if len(s) >= 5),
+        key=lambda t: -len(by_template[t]))[:max_templates]
+    if not templates:
+        return None
+    opts = CnsOptions.for_tech(Cst.TECH_PACBIO)
+    dev_vol = device_volume(db)
+
+    def one_pass():
+        stats = CnsStats()
+        t0 = time.time()
+        for _ in correct_batch_device(db, sorted(templates), by_template,
+                                      opts, stats, dev_vol=dev_vol):
+            pass
+        return stats, time.time() - t0
+
+    _, cold_dt = one_pass()            # compile ladder (or cache hits)
+    stats, dt = one_pass()             # steady state
+    return dict(
+        cns_supports_per_s=round(stats.supports_aligned / dt, 1)
+        if dt > 0 else None,
+        cns_templates=stats.templates,
+        cns_supports=stats.supports_aligned,
+        cns_corrected_reads=stats.corrected_reads,
+        cns_steady_s=round(dt, 2), cns_first_pass_s=round(cold_dt, 2))
 
 
 def main():
+    t_ix = time.time()
     db, idx = build_workload()
+    index_build_s = time.time() - t_ix
     platform = jax.devices()[0].platform
     log(f"bench: primary device {jax.devices()[0]} ({platform})")
 
+    want_cns = os.environ.get("BENCH_CNS", "1") == "1" or "--cns" in sys.argv
     n_batches = int(os.environ.get("BENCH_BATCHES", 32))
     t0 = time.time()
-    overlaps, dt = run_on(jax.devices()[0], db, idx, n_batches)
+    overlaps, dt, compile_s, supports = run_on(
+        jax.devices()[0], db, idx, n_batches, collect_supports=want_cns)
     rate = overlaps / dt if dt > 0 else 0.0
     log(f"bench: chip: {overlaps} overlaps in {dt:.2f}s -> {rate:.1f}/s "
-        f"(compile+run total {time.time() - t0:.1f}s)")
+        f"(compile {compile_s:.1f}s, total {time.time() - t0:.1f}s)")
 
     # CPU-socket provisional baseline.  Re-measured with BENCH_CPU=1
     # (~5 min); otherwise uses the recorded measurement of the same step on
@@ -154,8 +224,8 @@ def main():
         try:
             cpus = jax.devices("cpu")
             if cpus and platform != "cpu":
-                c_overlaps, c_dt = run_on(cpus[0], db, idx,
-                                          max(1, n_batches // 8))
+                c_overlaps, c_dt, _, _ = run_on(cpus[0], db, idx,
+                                                max(1, n_batches // 8))
                 cpu_rate = c_overlaps / c_dt if c_dt > 0 else 0.0
                 log(f"bench: cpu-socket baseline: {c_overlaps} in {c_dt:.2f}s "
                     f"-> {cpu_rate:.1f}/s")
@@ -164,13 +234,30 @@ def main():
     if cpu_rate > 0:
         vs = rate / cpu_rate
 
-    print(json.dumps({
+    result = {
         "metric": "pairwise overlap throughput (fused scan+extend, simulated "
                   "PacBio reads)",
         "value": round(rate, 2),
         "unit": "overlaps/s/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+        # hygiene fields: compile-cache state must not contaminate
+        # round-over-round comparisons of the throughput line
+        "index_build_s": round(index_build_s, 1),
+        "compile_s": round(compile_s, 1),
+        "steady_s": round(dt, 2),
+        "cache": "warm" if compile_s < 15.0 else "cold",
+    }
+    if want_cns and supports:
+        try:
+            cns = run_cns(db, supports)
+            if cns:
+                result.update(cns)
+                log(f"bench: cns: {cns['cns_supports']} supports in "
+                    f"{cns['cns_steady_s']}s -> "
+                    f"{cns['cns_supports_per_s']}/s")
+        except Exception as e:  # pragma: no cover - never fail the headline
+            log(f"bench: cns bench failed: {e}")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

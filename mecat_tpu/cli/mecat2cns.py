@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--align-segment", type=int, default=C.ALIGN_SEGMENT)
     p.add_argument("--align-band", type=int, default=C.ALIGN_BAND)
     p.add_argument("--extend-batch", type=int, default=128)
+    p.add_argument("--max-est-coverage", type=int, default=None,
+                   help="stop recruiting supports once their summed extents "
+                        "reach this many template lengths (0 disables; the "
+                        "reference caps by COUNT — flip this off when "
+                        "debugging equality against reference outputs)")
     p.add_argument("--rounds", type=int, default=1,
                    help="correction rounds: 2 realigns the raw supports "
                         "against the round-1 draft (higher accuracy, ~2x "
@@ -59,6 +64,7 @@ def main(argv=None) -> int:
         min_align_size=args.min_align_size, min_coverage=args.min_coverage,
         min_length=args.min_length, align_segment=args.align_segment,
         align_band=args.align_band, extend_batch=args.extend_batch,
+        max_est_coverage=args.max_est_coverage,
         rounds=args.rounds)
     stats = run_cns(args.input, args.reads, args.output, opts)
     log.info("done: %d templates, %d supports aligned, %d corrected reads "

@@ -38,9 +38,18 @@ from .common import bucket_length, max_segs_for, oriented_batch, pad_to_batch
 
 log = get_logger("ref")
 
-#: diagonal shift covering genome-scale target offsets (contigs < 128 Mb;
-#: larger genomes are handled contig-by-contig upstream).
+#: diagonal shift for genome-scale target offsets.  Keeps diagonals of
+#: contigs < 128 Mb non-negative; correctness does NOT depend on that —
+#: ``ops/ddf.py`` bins diagonals with true floor division, so negative
+#: diagonals (contig offsets beyond the shift) stay distinct and ordered.
+#: The real ceiling is the int32 position representation: contigs and the
+#: packed genome must stay < 2^31 bases (guarded in :func:`run_ref`);
+#: human chr1 (248 Mb) is well inside it.  tests/test_ref.py
+#: (test_diag_binning_beyond_128mb) pins the >2^27 behaviour.
 GENOME_DIAG_SHIFT = 1 << 27
+
+#: int32 position ceiling for the packed genome (see GENOME_DIAG_SHIFT note).
+MAX_GENOME_BASES = (1 << 31) - 1
 
 
 @dataclass
@@ -199,7 +208,7 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
              qlen_b, qs_b, ts_b], P)
         return [jnp.asarray(a) for a in padded]
 
-    cand_by_row = {}  # row -> [(m, pi, locus_key)]
+    surv = []  # per-chunk columnar survivors: [row, m, pi, strand, contig, band]
     for ofs in range(0, len(pairs), P):
         ca = chunk_arr[ofs:ofs + P]
         args = chunk_args(ca, g_start[ofs:ofs + P])
@@ -212,35 +221,42 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
         tbeg_a = np.asarray(pa.tbeg)[:n]
         span = np.minimum(np.asarray(pa.qend - pa.qbeg),
                           np.asarray(pa.tend - pa.tbeg))[:n]
-        keep = ((span >= opts.min_align_size)
-                & (ident >= opts.min_identity))
-        for i in np.nonzero(keep)[0]:
-            pi = ofs + int(i)
-            row = int(chunk_arr[pi, 0])
-            # distinct-locus key: different seeds converging on the same
-            # alignment land within a band width of the same genome start
-            key = (int(chunk_arr[pi, 1]), int(chunk_arr[pi, 2]),
-                   (int(chunk_arr[pi, 3]) + int(tbeg_a[i])) // max(W, 1))
-            cand_by_row.setdefault(row, []).append((int(matches[i]), pi, key))
+        keep = np.nonzero((span >= opts.min_align_size)
+                          & (ident >= opts.min_identity))[0]
+        if len(keep) == 0:
+            continue
+        # distinct-locus key: different seeds converging on the same
+        # alignment land within a band width of the same genome start
+        band = (ca[keep, 3] + tbeg_a[keep]) // max(W, 1)
+        surv.append(np.stack([
+            ca[keep, 0], matches[keep].astype(np.int64), ofs + keep,
+            ca[keep, 1], ca[keep, 2], band], axis=1))
 
-    # top best_n DISTINCT loci per read; runner-up matches drive MAPQ
-    for row, lst in cand_by_row.items():
-        lst.sort(key=lambda x: (-x[0], x[1]))
-        seen_keys, picked = set(), []
-        runner_up = 0
-        for m, pi, key in lst:
-            if key in seen_keys:
-                continue
-            seen_keys.add(key)
-            if len(picked) < opts.best_n:
-                picked.append((m, pi))
-            elif not runner_up:
-                runner_up = m
-                break
-        best[row] = picked
-        # second-best DISTINCT locus (for MAPQ): the 2nd pick if reported,
-        # else the best non-reported survivor
-        second[row] = picked[1][0] if len(picked) > 1 else runner_up
+    # top best_n DISTINCT loci per read; runner-up matches drive MAPQ.
+    # Columnar (no per-candidate Python loop — this host is 1-core):
+    #   1. lexsort by (row, locus key, -m, pi); first entry per (row, key)
+    #      group is that locus's best alignment,
+    #   2. re-sort survivors by (row, -m, pi); within-row rank < best_n is
+    #      reported, rank 1's matches is the MAPQ runner-up.
+    if surv:
+        sv = np.concatenate(surv, axis=0)
+        row_c, m_c, pi_c = sv[:, 0], sv[:, 1], sv[:, 2]
+        o1 = np.lexsort((pi_c, -m_c, sv[:, 5], sv[:, 4], sv[:, 3], row_c))
+        key_cols = sv[o1][:, [0, 3, 4, 5]]
+        first = np.ones(len(o1), dtype=bool)
+        first[1:] = (key_cols[1:] != key_cols[:-1]).any(axis=1)
+        d = o1[first]
+        o2 = d[np.lexsort((pi_c[d], -m_c[d], row_c[d]))]
+        row_d = row_c[o2]
+        is_start = np.ones(len(o2), dtype=bool)
+        is_start[1:] = row_d[1:] != row_d[:-1]
+        idx = np.arange(len(o2))
+        rank = idx - np.maximum.accumulate(np.where(is_start, idx, 0))
+        for j in np.nonzero(rank < opts.best_n)[0]:
+            best.setdefault(int(row_d[j]), []).append(
+                (int(m_c[o2[j]]), int(pi_c[o2[j]])))
+        for j in np.nonzero(rank == 1)[0]:
+            second[int(row_d[j])] = int(m_c[o2[j]])
 
     # Phase B: selected alignments only (primary + up to best_n-1 secondary)
     payloads = {}  # row -> [payload tuple] in rank order
@@ -260,6 +276,7 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
                 bases_dev[0], bases_dev[1], dev["ref_codes"], *args,
                 L_win=L_win, L_q=L_q, S=S, W=W, max_segs=msegs)
             ops_np = np.asarray(ops_dev)
+            n_ops = (ops_np >= 0).sum(axis=1)
         else:
             pa = _ref_count_chunk(
                 bases_dev[0], bases_dev[1], dev["ref_codes"], *args,
@@ -273,8 +290,7 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
         for i, pi in enumerate(sel):
             row, strand, contig, win0, qs, ts, score, wlen = chunk_arr[pi]
             if ops_np is not None:
-                row_ops = ops_np[i]
-                row_ops = row_ops[:int((row_ops >= 0).sum())]
+                row_ops = ops_np[i, :n_ops[i]]
             else:
                 row_ops = np.zeros(0, np.int8)
             payloads.setdefault(int(row), []).append((
@@ -333,6 +349,12 @@ def run_ref(reads_path: str, ref_path: str, out_path: str, wrk_dir: str,
     t0 = time.time()
     db = db or PackedDB.from_fasta(reads_path)
     ref_db = ref_db or PackedDB.from_fasta(ref_path)
+    if int(ref_db.total_bases) > MAX_GENOME_BASES:
+        raise ValueError(
+            f"reference genome has {ref_db.total_bases} bases; the int32 "
+            f"position representation caps a packed genome at "
+            f"{MAX_GENOME_BASES} (~2.1 Gb). Split the FASTA into "
+            f"< 2^31-base groups of contigs and map against each.")
     stats = RefStats()
     idx = build_index(ref_db.codes, ref_db.starts, ref_db.lengths,
                       k=opts.kmer_size)

@@ -190,6 +190,39 @@ def test_cns_accuracy_gate(cns_setup):
     assert s["p5_identity"] >= 99.0, s
 
 
+def test_max_est_coverage_switch(cns_setup):
+    """The estimated-coverage support cut (a deliberate divergence from the
+    reference's count cap — CnsOptions.max_est_coverage TODO(ref)) must have
+    an off switch for future equality debugging, and its output delta is
+    pinned: capping recruits strictly fewer supports while the corrected
+    accuracy stays at the uncapped level (the cut drops only redundant
+    coverage; pile sweeps 2026-08-17 measured a flat identity curve >25x)."""
+    from mecat_tpu.utils.accuracy import corrected_accuracy
+
+    tmp, reads, db, truths, genome = cns_setup
+    ovl = str(tmp / "ovl.i0")
+    import os
+
+    if not os.path.exists(ovl):
+        run_pw(reads, ovl, str(tmp / "wrki0"), PwOptions(task=0, **PW_OPTS))
+    outs = {}
+    for cap in (0, 12):
+        out = str(tmp / f"corrected.cap{cap}.fasta")
+        stats = run_cns(ovl, reads, out, CnsOptions(
+            input_type=0, max_est_coverage=cap, **CNS_OPTS))
+        rep = corrected_accuracy(out, genome, truths)
+        outs[cap] = (stats, rep.summary())
+    s_off, s_cap = outs[0][0], outs[12][0]
+    assert s_cap.supports_aligned < s_off.supports_aligned, (
+        s_cap.supports_aligned, s_off.supports_aligned)
+    assert s_cap.corrected_reads >= 0.9 * s_off.corrected_reads
+    # pinned delta: a 12x cut at ~30x input costs <0.5 median identity here
+    # (the production default 25 measured flat; tools/pile_harness sweep)
+    assert outs[12][1]["median_identity"] >= outs[0][1]["median_identity"] - 0.5
+    # CLI pass-through: 0 disables (for_tech must not swallow a 0 override)
+    assert CnsOptions.for_tech(0, max_est_coverage=0).max_est_coverage == 0
+
+
 def test_cns_streamed_partition_identical(cns_setup, monkeypatch):
     """Spill-to-disk input partitioning (reference overlaps_partition role)
     must produce byte-identical corrected FASTA, with small partitions

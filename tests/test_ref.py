@@ -168,6 +168,60 @@ def test_ref_topk_secondary_and_mapq(tmp_path):
     assert int(unq[0][4]) >= 40           # unique -> high MAPQ
 
 
+def _synthetic_scan(big_off, k=10, stride=5, L=2000, seed=7):
+    """Scan one read against a fabricated CSR index whose occurrences sit at
+    genome offset ``big_off`` (no giant array needed — the CSR is sparse)."""
+    from mecat_tpu.index.kmer_index import kmer_codes_np
+    from mecat_tpu.ops.ddf import scan_candidates
+    from mecat_tpu.pipeline.ref import GENOME_DIAG_SHIFT
+
+    rng = np.random.default_rng(seed)
+    read = rng.integers(0, 4, L).astype(np.uint8)
+    codes = kmer_codes_np(read, k)
+    qpos = np.arange(0, L, stride)
+    qpos = qpos[qpos + k <= L]
+    vcodes = codes[qpos]
+    # consistent diagonal: loc = big_off + qpos (one run of len(qpos) hits);
+    # plus decoys at scattered diagonals on a second target (score 1 runs)
+    all_codes = np.concatenate([vcodes, vcodes])
+    all_rid = np.concatenate([np.zeros_like(qpos), np.ones_like(qpos)])
+    all_loc = np.concatenate([big_off + qpos, big_off + 7919 * qpos % (1 << 29)])
+    order = np.argsort(all_codes, kind="stable")
+    n_slots = 1 << (2 * k)
+    offsets = np.zeros(n_slots + 1, dtype=np.int64)
+    np.cumsum(np.bincount(all_codes, minlength=n_slots), out=offsets[1:])
+    cand = scan_candidates(
+        jnp.asarray(read[None, :]), jnp.asarray([L], np.int32),
+        jnp.asarray(offsets.astype(np.int32)),
+        jnp.asarray(all_rid[order].astype(np.int32)),
+        jnp.asarray(all_loc[order].astype(np.int32)),
+        jnp.int32(1 << 30), jnp.asarray([-1], np.int32),
+        k=k, stride=stride, max_occ=4, num_candidates=4,
+        diag_shift=GENOME_DIAG_SHIFT)
+    return qpos, {f: np.asarray(getattr(cand, f))[0] for f in cand._fields}
+
+
+def test_diag_binning_beyond_128mb():
+    """DDF diagonal binning must be exact for contig offsets beyond the
+    2^27 GENOME_DIAG_SHIFT (negative diagonals; human-chr1-scale contigs).
+    The scan result must be translation-invariant in the genome offset."""
+    # offsets congruent mod DDF_DIAG_BIN so bin boundaries translate exactly
+    near = _synthetic_scan(big_off=1_024)                    # diag positive
+    far = _synthetic_scan(big_off=(1 << 27) + 123_392)       # diag negative
+    vfar = _synthetic_scan(big_off=(1 << 28) + 50_000_128)   # ~390 Mb contig
+    for (qpos, a) in (near, far, vfar):
+        assert a["valid"][0]
+        assert a["target"][0] == 0
+        assert a["score"][0] == len(qpos)            # the full consistent run
+        assert a["score"][1] < len(qpos) // 4        # decoys never coalesce
+    for key in ("score", "qseed", "valid", "target"):
+        np.testing.assert_array_equal(near[1][key], far[1][key])
+        np.testing.assert_array_equal(near[1][key], vfar[1][key])
+    # seed target positions translate exactly with the offset
+    assert far[1]["tseed"][0] - near[1]["tseed"][0] == (1 << 27) + 122_368
+    assert vfar[1]["tseed"][0] - near[1]["tseed"][0] == (1 << 28) + 49_999_104
+
+
 def test_ref_sam_m4_coordinates_agree(ref_setup):
     """Differential SAM <-> M4 check: the primary alignment's contig, strand,
     and genome span must agree between the two output formats."""
