@@ -283,7 +283,7 @@ def traceback_ops(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
 
 def dp_segment_best(q_seg: jnp.ndarray, t_seg: jnp.ndarray,
                     tmax: jnp.ndarray, seg_q: jnp.ndarray, S: int, W: int,
-                    want_moves: bool = True):
+                    want_moves: bool = True, active: jnp.ndarray = None):
     """One DP segment + local-best endpoint; Pallas on TPU, XLA elsewhere.
 
     t_seg: [B, S + W//2] window chars.  Returns
@@ -291,7 +291,11 @@ def dp_segment_best(q_seg: jnp.ndarray, t_seg: jnp.ndarray,
     both backends produce identical values (tests/test_pallas_dp.py).
     With want_moves=False, moves is None (counts-only overlap path: the
     Pallas kernel skips its whole HBM move stream; the XLA path relies on
-    jit DCE of the unused scan output).
+    jit DCE of the unused scan output).  ``active`` (bool [B] or None) is a
+    Pallas-path hint: a 128-lane block whose lanes are ALL inactive skips
+    its DP and returns d=INF for those lanes (the segmented extension gates
+    every state update on its own active mask, so the values are never
+    consumed; the XLA path ignores the hint).
     """
     from .pallas_dp import dp_segment_best_pallas, pallas_available
 
@@ -301,7 +305,7 @@ def dp_segment_best(q_seg: jnp.ndarray, t_seg: jnp.ndarray,
         tpad = jnp.full((B, S + W), T_SENTINEL, dtype=q_seg.dtype)
         tpad = tpad.at[:, half:half + t_seg.shape[1]].set(t_seg)
         block_b = 128   # fastest measured tile; larger blocks LOSE (v5e)
-        return dp_segment_best_pallas(q_seg, tpad, tmax, seg_q,
+        return dp_segment_best_pallas(q_seg, tpad, tmax, seg_q, active,
                                       S=S, W=W, block_b=block_b,
                                       with_moves=want_moves)
     rows, moves = banded_dp_segment(q_seg, t_seg, tmax, W)
@@ -348,7 +352,8 @@ def _extend_direction_impl(q_pad, t_pad, q0, t0, qlen, tlen, *, S, W,
         )(t_pad, (t0 + toff).astype(jnp.int32))
 
         moves, r_end, w_end, j_end, d_seg, ind_seg = dp_segment_best(
-            q_seg, t_seg, rem_t, seg_q, S, W, want_moves=collect_ops)
+            q_seg, t_seg, rem_t, seg_q, S, W, want_moves=collect_ops,
+            active=active)
         # closed-form match/column counts from the packed DP value (no
         # traceback needed): matches = (qc + jc + indels)/2 - d.
         m_seg = jnp.maximum((r_end + j_end + ind_seg) // 2 - d_seg, 0)

@@ -44,13 +44,22 @@ _NEG = -(1 << 26)
 _K1 = IND_K + 1
 
 
-def _dp_kernel(q_ref, t_ref, tmax_ref, segq_ref, *out_refs,
+def _dp_kernel(q_ref, t_ref, tmax_ref, segq_ref, active_ref, *out_refs,
                S: int, W: int, with_moves: bool):
-    # transposed layout: q_ref [S, B], t_ref [S+W, B], tmax/segq [1, B],
-    # moves_ref [S, W/16, B] (with_moves only), best_ref [8, B].
+    # transposed layout: q_ref [S, B], t_ref [S+W, B], tmax/segq/active
+    # [1, B], moves_ref [S, W/16, B] (with_moves only), best_ref [8, B].
     # The counts-only extension path (overlap detection) never reads moves:
     # skipping them removes the kernel's entire HBM write stream
     # (S * W/16 * B words per segment) plus the packing ALU work.
+    #
+    # Dead-block skip: the segmented extension loop calls this kernel once
+    # per segment for the WHOLE batch, but lanes stop extending at very
+    # different segment counts (junk candidates die in 1-2 segments, a full
+    # overlap takes 10+).  When every lane of this grid block is inactive
+    # the entire DP is skipped (pl.when) and the block writes only a
+    # VINF/zero best record — callers already gate every state update on
+    # their own active mask, so skipped lanes' outputs are never consumed.
+    # Callers sort lanes by expected mortality so whole blocks die together.
     moves_ref = out_refs[0] if with_moves else None
     best_ref = out_refs[-1]
     B = q_ref.shape[1]
@@ -128,21 +137,34 @@ def _dp_kernel(q_ref, t_ref, tmax_ref, segq_ref, *out_refs,
             carry = row_update(base + r + 1, r, q_blk, t_blk, carry)
         return carry
 
-    zero = jnp.zeros((1, B), jnp.int32)
-    init = (row0, zero, zero, jnp.full((1, B), half, jnp.int32), zero)
-    _, best_s, best_r, best_w, best_d = jax.lax.fori_loop(
-        0, S // 8, group, init)
-    best_ref[0:1, :] = best_r
-    best_ref[1:2, :] = best_w
-    best_ref[2:3, :] = best_d
-    best_ref[3:4, :] = best_s
-    best_ref[4:8, :] = jnp.zeros((4, B), jnp.int32)
+    any_active = jnp.any(active_ref[0:1, :] != 0)
+
+    @pl.when(any_active)
+    def _run():
+        zero = jnp.zeros((1, B), jnp.int32)
+        init = (row0, zero, zero, jnp.full((1, B), half, jnp.int32), zero)
+        _, best_s, best_r, best_w, best_d = jax.lax.fori_loop(
+            0, S // 8, group, init)
+        best_ref[0:1, :] = best_r
+        best_ref[1:2, :] = best_w
+        best_ref[2:3, :] = best_d
+        best_ref[3:4, :] = best_s
+        best_ref[4:8, :] = jnp.zeros((4, B), jnp.int32)
+
+    @pl.when(jnp.logical_not(any_active))
+    def _skip():
+        # unconsumed record: r=0, w=half, v=VINF (=> d=INF, callers' ok=False)
+        best_ref[0:1, :] = jnp.zeros((1, B), jnp.int32)
+        best_ref[1:2, :] = jnp.full((1, B), half, jnp.int32)
+        best_ref[2:3, :] = jnp.full((1, B), VINF, jnp.int32)
+        best_ref[3:8, :] = jnp.zeros((5, B), jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("S", "W", "block_b", "interpret",
                                    "with_moves"))
 def dp_segment_best_pallas(q_seg: jnp.ndarray, tpad: jnp.ndarray,
                            tmax: jnp.ndarray, seg_q: jnp.ndarray,
+                           active: jnp.ndarray | None = None,
                            *, S: int, W: int, block_b: int = 256,
                            interpret: bool = False, with_moves: bool = True):
     """Banded DP + local-best endpoint, one fused kernel.
@@ -153,17 +175,23 @@ def dp_segment_best_pallas(q_seg: jnp.ndarray, tpad: jnp.ndarray,
              (tpad[:, x] = t_window[x - W/2])
       tmax:  int32 [B] usable target window length
       seg_q: int32 [B] rows eligible as endpoints (partial final segment)
+      active: bool [B] or None; a grid block whose lanes are ALL inactive
+        skips its DP entirely and returns an unconsumable best record
+        (r=0, j=0, d=INF) with unspecified moves — callers must gate
+        consumption on their own active mask (they already do).
       with_moves: emit the packed move matrix (needed for traceback/ops;
         the counts-only overlap path passes False and gets moves=None)
 
     Returns (moves int32 [S, W//16, B] packed or None, r_best, w_best,
     j_best, d_best, ind_best) — identical to banded_dp_segment +
-    pick_end_local.
+    pick_end_local for lanes in blocks with any active lane.
     """
     B = q_seg.shape[0]
     assert B % block_b == 0 and block_b % 128 == 0, (B, block_b)
     grid = (B // block_b,)
     Wp = W // 16
+    act = (jnp.ones((1, B), jnp.int32) if active is None
+           else active.reshape(1, B).astype(jnp.int32))
     out_specs = [pl.BlockSpec((8, block_b), lambda i: (0, i),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((8, B), jnp.int32)]
@@ -184,11 +212,13 @@ def dp_segment_best_pallas(q_seg: jnp.ndarray, tpad: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(q_seg.T, tpad.T, tmax.reshape(1, B), seg_q.reshape(1, B))
+    )(q_seg.T, tpad.T, tmax.reshape(1, B), seg_q.reshape(1, B), act)
     moves = out[0] if with_moves else None
     best = out[-1]
     r_best = best[0]

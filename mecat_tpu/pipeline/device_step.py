@@ -69,10 +69,19 @@ def overlap_step(
         cutoff, self_id, k=k, stride=stride, max_occ=max_occ,
         num_candidates=N, diag_bin=diag_bin)
 
-    # flatten [B, N] candidates into a [B*N] extension batch
-    tgt = jnp.clip(cand.target, 0, read_starts.shape[0] - 1).reshape(-1)
-    q_pairs = jnp.repeat(bases, N, axis=0)                 # [B*N, L]
-    qlen_pairs = jnp.repeat(lengths, N)
+    # flatten [B, N] candidates into a [B*N] extension batch, SORTED by
+    # descending DDF score: score tracks overlap length, i.e. how many
+    # segment iterations a lane survives — sorting clusters the short-lived
+    # junk lanes into whole 128-lane blocks that the Pallas DP kernel skips
+    # once they die (dp_segment_best active hint), so late while_loop
+    # iterations only pay for blocks still extending.
+    flat_score = jnp.where(cand.valid, cand.score, -1).reshape(-1)
+    order = jnp.argsort(-flat_score)                       # stable
+    inv = jnp.argsort(order)
+    tgt = jnp.clip(cand.target, 0, read_starts.shape[0] - 1).reshape(-1)[order]
+    rowi = (order // N).astype(jnp.int32)
+    q_pairs = bases[rowi]                                  # [B*N, L]
+    qlen_pairs = lengths[rowi]
     # target rows are CONTIGUOUS volume slices: a vmapped dynamic_slice is
     # ~35x faster than the equivalent [B*N, L] element gather on v5e
     t_start = read_starts[tgt].astype(jnp.int32)
@@ -86,10 +95,11 @@ def overlap_step(
 
     res = extend_pair_batch(
         q_pairs, t_pairs, qlen_pairs, t_len,
-        jnp.maximum(cand.qseed.reshape(-1), 0),
-        jnp.minimum(jnp.maximum(cand.tseed.reshape(-1), 0),
+        jnp.maximum(cand.qseed.reshape(-1)[order], 0),
+        jnp.minimum(jnp.maximum(cand.tseed.reshape(-1)[order], 0),
                     jnp.maximum(t_len - 1, 0)),
         S=S, W=W, max_segs=max_segs)
+    res = type(res)(*(x[inv] for x in res))                # undo the sort
 
     qspan = (res.qend - res.qbeg).reshape(B, N)
     tspan = (res.tend - res.tbeg).reshape(B, N)
@@ -189,17 +199,23 @@ def extend_selected(
     tgt_flat: jnp.ndarray,     # int32 [B*N] candidate targets
     qseed_flat: jnp.ndarray, tseed_flat: jnp.ndarray,
     sel: jnp.ndarray,          # int32 [K] indices into the flat candidates
+    sel_valid: jnp.ndarray = None,  # bool [K]; padded tail lanes -> False
     *, K: int, N: int, L_target: int, S: int, W: int, max_segs: int,
 ):
     """Full extension of the selected candidate pairs only.
 
     Returned target coordinates (tbeg/tend) are WINDOW-LOCAL; the matching
     window origin comes back as win0 ([K]) for host-side globalisation.
+    ``sel`` is padded to the K bucket; with ``sel_valid`` the padded lanes
+    get qlen=0, so they are dead from segment 0 and whole 128-lane pad
+    blocks are skipped by the DP kernel instead of re-extending lane 0.
     """
     rowi = sel // N
     tgt = jnp.clip(tgt_flat[sel], 0, read_starts.shape[0] - 1)
     q = bases[rowi]
     qlen = lengths[rowi]
+    if sel_valid is not None:
+        qlen = jnp.where(sel_valid, qlen, 0)
     t, t_len_w, ts_local, win0 = _target_windows(
         vol_codes, read_starts, read_lengths, tgt, tseed_flat[sel], L_target)
     res = extend_pair_batch(

@@ -412,15 +412,25 @@ def collect_query_batch_fused(pending, vol_base: int, vol_db: PackedDB,
         sel_np = np.flatnonzero(surv.reshape(-1)).astype(np.int32)
         if len(sel_np) == 0:
             continue
+        # survivors sorted by descending DDF score (longest-lived lanes
+        # first) + a validity mask over the padded tail: the DP kernel
+        # skips whole 128-lane blocks once every lane in them has stopped
+        # extending (dp_segment_best active hint), so short-lived and pad
+        # lanes must cluster at the tail to become skippable blocks.
+        score_np = np.asarray(cand.score).reshape(-1)
+        sel_np = sel_np[np.argsort(-score_np[sel_np], kind="stable")]
         K = _bucket_k(len(sel_np))
         sel_pad = np.zeros(K, np.int32)
         sel_pad[:len(sel_np)] = sel_np
+        valid_pad = np.zeros(K, bool)
+        valid_pad[:len(sel_np)] = True
         res, win0 = extend_selected(
             bases_dev, lens_dev, dev["vol_codes"],
             dev["read_starts"], dev["read_lengths"],
             cand.target.reshape(-1).astype(jnp.int32),
             cand.qseed.reshape(-1), cand.tseed.reshape(-1),
-            jnp.asarray(sel_pad), K=K, N=N, L_target=L_target,
+            jnp.asarray(sel_pad), jnp.asarray(valid_pad),
+            K=K, N=N, L_target=L_target,
             S=S, W=W, max_segs=msegs)
         phase2[strand] = (cand, sel_np, res, win0)
         stats.candidates += len(sel_np)
