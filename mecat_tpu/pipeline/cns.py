@@ -618,6 +618,9 @@ def _dispatch_slice_device(db: PackedDB, templates: List[int],
     from ..ops.consensus_device import call_tables
     import jax.numpy as jnp
 
+    timers = os.environ.get("MECAT_TPU_CNS_TIMERS") == "1"
+    t_start = time.time() if timers else 0.0
+
     T = len(templates)
     L_t = bucket_length(max(int(db.lengths[t]) for t in templates),
                         pow2=True)
@@ -637,6 +640,7 @@ def _dispatch_slice_device(db: PackedDB, templates: List[int],
     plan = plan_pairs(db, templates, by_template, opts, L_t, msegs)
     if plan is None:
         return None
+    t_plan = (time.time() - t_start) if timers else 0.0
 
     if dev_vol is None:
         dev_vol = device_volume(db)
@@ -675,6 +679,16 @@ def _dispatch_slice_device(db: PackedDB, templates: List[int],
             min_mapping_ratio=opts.min_mapping_ratio)
         stats.supports_aligned += n
 
+    if timers:
+        # force-sync the chunk ladder so align time is separated from the
+        # vote/pull below (debug-only: this defeats the depth-1 pipelining)
+        t0 = time.time()
+        np.asarray(has[0])
+        log.info("cns-timer: slice T=%d L_t=%d pairs=%d chunks=%d "
+                 "plan=%.2fs dispatch+align=%.2fs",
+                 T, L_t, len(pairs_a), -(-len(pairs_a) // P), t_plan,
+                 time.time() - t_start - t_plan)
+        t_start = time.time()
     emit, cov_ok = call_tables(counts, cov_diff, tmpl_mat,
                                jnp.asarray(tmpl_len), has,
                                jnp.int32(opts.min_coverage),
@@ -684,6 +698,9 @@ def _dispatch_slice_device(db: PackedDB, templates: List[int],
     # count of non-empty insertion slots is the collector's first (tiny)
     # sync point
     n_ins = jnp.max(jnp.sum((emit[:, :, 1:] >= 0).astype(jnp.int32), axis=2))
+    if timers:
+        np.asarray(n_ins)
+        log.info("cns-timer: vote=%.2fs", time.time() - t_start)
     return templates, emit, cov_ok, has, n_ins
 
 
@@ -701,11 +718,16 @@ def _collect_slice_device(db: PackedDB, pending, opts: CnsOptions,
                                         unpack_emit_cov)
 
     templates, emit, cov_ok, has, n_ins = pending
+    timers = os.environ.get("MECAT_TPU_CNS_TIMERS") == "1"
+    t0 = time.time() if timers else 0.0
     max_ins = int(n_ins)
     L = emit.shape[1]
     packed, cbits = pack_emit_cov(emit, cov_ok, max_ins + 1)
     emit, cov_ok = unpack_emit_cov(packed, cbits, L)
     has_support = np.asarray(has)
+    if timers:
+        log.info("cns-timer: pull=%.2fs (emit %s, max_ins %d)",
+                 time.time() - t0, emit.shape, max_ins)
 
     for i, t in enumerate(templates):
         stats.templates += 1
