@@ -260,24 +260,33 @@ def traceback_ops(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
                        jnp.where(mv == MOVE_HORIZ, -1, 0))
         # tail deletions: i stays 0, j decreases => w decreases
         dw = jnp.where(in_dp, dw, -1)
-        col_qi = jnp.where(active & (is_diag | (mv == MOVE_VERT)), i - 1, -1)
-        col_tj = jnp.where(active,
-                           jnp.where(mv == MOVE_VERT, j, j - 1), -1)
         i2 = jnp.where(active & in_dp, i - di, i)
         w2 = jnp.where(active, w + dw, w)
         n2 = jnp.where(active, n + 1, n)
         # step s emits forward column n-1-s; scan stacks outputs (no
         # scatters in the loop body), the flip below right-aligns them —
-        # the fori_loop + .at[] formulation measured ~100x slower.
-        return (i2, w2, n2), (mv, col_qi, col_tj)
+        # the fori_loop + .at[] formulation measured ~100x slower.  ONLY
+        # the move code is emitted here: the per-column q/t indices are
+        # pure cumsums of the op sequence, reconstructed vectorised below
+        # (the 3-output loop body measured ~25% slower on v5e — the serial
+        # walk is the latency-bound hot spot of the whole cns chunk).
+        return (i2, w2, n2), mv
 
     zeros = jnp.zeros((B,), jnp.int32)
-    (_, _, n), (mv_s, qi_s, tj_s) = jax.lax.scan(
+    (_, _, n), mv_s = jax.lax.scan(
         body, (seg_qlen.astype(jnp.int32), w_end.astype(jnp.int32), zeros),
         None, length=MAXC)
     ops = jnp.flip(mv_s, axis=0).T          # [B, MAXC], right-aligned
-    qi = jnp.flip(qi_s, axis=0).T
-    tj = jnp.flip(tj_s, axis=0).T
+    # forward-order reconstruction: the walk ends at (0, 0), so in forward
+    # order q/t indices are inclusive cumsums of consumed chars (invalid
+    # slots are a right-aligned prefix and emit -1, exactly as the loop did)
+    consumes_q = ((ops == MOVE_MATCH) | (ops == MOVE_MISMATCH)
+                  | (ops == MOVE_VERT))
+    consumes_t = (ops >= 0) & (ops != MOVE_VERT)
+    cq = jnp.cumsum(consumes_q.astype(jnp.int32), axis=1)
+    ct = jnp.cumsum(consumes_t.astype(jnp.int32), axis=1)
+    qi = jnp.where(consumes_q, cq - 1, -1)
+    tj = jnp.where(ops >= 0, ct - consumes_t.astype(jnp.int32), -1)
     return ops, qi, tj, n
 
 
