@@ -290,6 +290,107 @@ def traceback_ops(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
     return ops, qi, tj, n
 
 
+def traceback_rows(moves: jnp.ndarray, seg_qlen: jnp.ndarray,
+                   w_end: jnp.ndarray, W: int):
+    """Row-major traceback: walk DP ROWS (<= S steps), not tape columns.
+
+    The column walk (:func:`traceback_ops`) pays one element-gather per tape
+    column per lane — latency-bound at ~21 ns/element on v5e, the single
+    hottest phase of the cns chunk (124 of 286 ms at full-scale shapes,
+    measured 2026-08-19).  This walk exploits the band structure instead:
+    within a DP row the backward path is a maximal run of HORIZ cells ending
+    at the first non-HORIZ cell at-or-left-of the entry column, so one row
+    costs a handful of VPU ops over a [B, W] one-hot — no gathers at all.
+    The scan also runs S steps instead of max_tape_cols(...) ~ 1.4*S.
+
+    moves: packed [S, W//16, B] (banded_dp_segment layout).  Returns
+    (mv, h, w_out, w0):
+      mv:  int32 [B, S]; mv[b, r-1] = the diagonal/vertical move that left
+        row r (MOVE_MATCH/MISMATCH/VERT), or -1 if the walk never visited
+        row r (r > seg_qlen or the path broke — broken paths only occur on
+        endpoint-gated segments, whose tapes callers mask out).
+      h:   int32 [B, S]; number of HORIZ (target-deletion) columns emitted
+        at row r before the exit move (forward tape order: mv then HORIZ^h).
+      w_out: int32 [B, S]; band column of the exit move (-1 if none).
+      w0:  int32 [B]; band column at row 0 (leading target deletions =
+        max(w0 - W//2, 0), exactly traceback_counts' lead_del).
+    """
+    S, Wp, B = moves.shape
+    w_iota = jnp.arange(W, dtype=jnp.int32)
+    shift16 = 2 * jnp.arange(16, dtype=jnp.int32)
+    r_end = seg_qlen.astype(jnp.int32)
+
+    def step(state, xs):
+        oh, alive, r = state                     # oh [B, W] bool
+        words = xs.T                             # [Wp, B] -> [B, Wp]
+        mv = ((words[:, :, None] >> shift16[None, None, :]) & 3)
+        mv = mv.reshape(B, W)
+        act = alive & (r <= r_end)
+        w_in = jnp.sum(jnp.where(oh, w_iota[None, :], 0), axis=1)
+        cand = (mv != MOVE_HORIZ) & (w_iota[None, :] <= w_in[:, None])
+        w_out = jnp.max(jnp.where(cand, w_iota[None, :], -1), axis=1)
+        found = act & (w_out >= 0)
+        oh_out = w_iota[None, :] == w_out[:, None]
+        mv_out = jnp.where(found,
+                           jnp.sum(jnp.where(oh_out, mv, 0), axis=1), -1)
+        h = jnp.where(found, w_in - w_out, 0)
+        # VERT leaves to (r-1, w+1); diagonal to (r-1, w)
+        oh_shift = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), oh_out[:, :-1]], axis=1)
+        oh_next = jnp.where((mv_out == MOVE_VERT)[:, None], oh_shift, oh_out)
+        oh2 = jnp.where(found[:, None], oh_next, oh)
+        alive2 = alive & (found | ~act)
+        return (oh2, alive2, r - 1), (mv_out, h, jnp.where(found, w_out, -1))
+
+    oh0 = w_iota[None, :] == w_end.astype(jnp.int32)[:, None]
+    mv_flip = jnp.flip(moves, axis=0)            # step s -> row S - s
+    (oh_f, _, _), (mv_s, h_s, wo_s) = jax.lax.scan(
+        step, (oh0, jnp.ones((B,), bool), jnp.int32(S)), mv_flip)
+    w0 = jnp.sum(jnp.where(oh_f, w_iota[None, :], 0), axis=1)
+    # flip to ascending row order: index r-1 = row r
+    return (jnp.flip(mv_s, axis=0).T, jnp.flip(h_s, axis=0).T,
+            jnp.flip(wo_s, axis=0).T, w0)
+
+
+def rows_to_tape(mv: jnp.ndarray, h: jnp.ndarray, w0: jnp.ndarray,
+                 W: int, max_cols: int):
+    """Row-walk outputs -> the right-aligned op tape (traceback_ops contract).
+
+    Forward tape = HORIZ^lead_del, then per visited row r ascending:
+    mv_r followed by HORIZ^h_r.  Used by the tape-compatibility path and the
+    differential tests; the cns hot path consumes the row form directly.
+    Returns (ops, qi, tj, n_cols) exactly as :func:`traceback_ops` for any
+    walk that fits max_cols (longer walks differ only in which end is
+    truncated — both paths only produce them on endpoint-gated segments).
+    """
+    B, S = mv.shape
+    half = W // 2
+    MAXC = max_cols
+    emitted = mv >= 0
+    hc = jnp.cumsum(h, axis=1)
+    n_rows = jnp.sum(emitted.astype(jnp.int32), axis=1)
+    lead = jnp.maximum(w0 - half, 0)
+    n_full = n_rows + hc[:, -1] + lead
+    n_cols = jnp.minimum(n_full, MAXC)
+    r_iota = jnp.arange(S, dtype=jnp.int32)[None, :]
+    p = lead[:, None] + r_iota + (hc - h)        # forward col of mv_r
+    slot = p + (MAXC - n_full)[:, None]
+    slot = jnp.where(emitted & (slot >= 0), slot, MAXC)
+    col = jnp.arange(MAXC, dtype=jnp.int32)[None, :]
+    ops = jnp.where(col >= (MAXC - n_cols)[:, None],
+                    jnp.int8(MOVE_HORIZ), jnp.int8(-1))
+    ops = ops.at[jnp.arange(B, dtype=jnp.int32)[:, None], slot].set(
+        mv.astype(jnp.int8), mode="drop", unique_indices=True)
+    consumes_q = ((ops == MOVE_MATCH) | (ops == MOVE_MISMATCH)
+                  | (ops == MOVE_VERT))
+    consumes_t = (ops >= 0) & (ops != MOVE_VERT)
+    cq = jnp.cumsum(consumes_q.astype(jnp.int32), axis=1)
+    ct = jnp.cumsum(consumes_t.astype(jnp.int32), axis=1)
+    qi = jnp.where(consumes_q, cq - 1, -1)
+    tj = jnp.where(ops >= 0, ct - consumes_t.astype(jnp.int32), -1)
+    return ops, qi, tj, n_cols
+
+
 def dp_segment_best(q_seg: jnp.ndarray, t_seg: jnp.ndarray,
                     tmax: jnp.ndarray, seg_q: jnp.ndarray, S: int, W: int,
                     want_moves: bool = True, active: jnp.ndarray = None):
@@ -544,6 +645,81 @@ def extend_pair_batch(q: jnp.ndarray, t: jnp.ndarray,
                                 min_seg_identity=min_seg_identity,
                                 collect_ops=False)
     return pa
+
+
+def _pair_batch_rows_impl(q, t, qlen, tlen, qseed, tseed, *, S, W, max_segs,
+                          min_seg_identity, max_segs_left):
+    """extend + ROW-MAJOR traceback of every segment (no op tapes).
+
+    Same DP as extend_pair_batch_with_ops, but the tracebacks run
+    :func:`traceback_rows` (gather-free) and the per-segment outputs stay in
+    row form — the raw material for the banded consensus tag emitter
+    (ops/consensus_device.banded tags path), which never builds the
+    [G, B, MAXC] column tapes at all.  Returns (pa, right_rows, left_rows);
+    each rows tuple is (mv, h, wo [G, B, S], w0 [G, B], qoff, toff, ok
+    [G, B]) in the direction's local coordinates.
+    """
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    max_segs_left = max_segs_left or max_segs
+
+    def pad(a, extra, sentinel):
+        out = jnp.full((B, a.shape[1] + extra), sentinel, dtype=a.dtype)
+        return out.at[:, :a.shape[1]].set(a)
+
+    col = jnp.arange(Lq, dtype=jnp.int32)
+    qm = jnp.where(col[None, :] < qlen[:, None], q, Q_SENTINEL).astype(q.dtype)
+    colt = jnp.arange(Lt, dtype=jnp.int32)
+    tm = jnp.where(colt[None, :] < tlen[:, None], t, T_SENTINEL).astype(t.dtype)
+    q_fwd = pad(qm, S, Q_SENTINEL)
+    t_fwd = pad(tm, S + W, T_SENTINEL)
+    q_rev = pad(jnp.flip(qm, axis=1), S, Q_SENTINEL)
+    t_rev = pad(jnp.flip(tm, axis=1), S + W, T_SENTINEL)
+
+    right, right_raw = _extend_direction_impl(
+        q_fwd, t_fwd, qseed, tseed, qlen - qseed, tlen - tseed,
+        S=S, W=W, max_segs=max_segs, min_seg_identity=min_seg_identity,
+        collect_ops=True)
+    left, left_raw = _extend_direction_impl(
+        q_rev, t_rev, Lq - qseed, Lt - tseed, qseed, tseed,
+        S=S, W=W, max_segs=max_segs_left,
+        min_seg_identity=min_seg_identity, collect_ops=True)
+
+    moves2, r2, w2, qo2, to2, ok2 = [
+        jnp.concatenate([r, l], axis=0) for r, l in zip(right_raw, left_raw)]
+    mv2, h2, wo2, w02 = jax.vmap(
+        lambda m, r, w: traceback_rows(m, r, w, W))(moves2, r2, w2)
+    G = max_segs
+    right_rows = (mv2[:G], h2[:G], wo2[:G], w02[:G], qo2[:G], to2[:G],
+                  ok2[:G])
+    left_rows = (mv2[G:], h2[G:], wo2[G:], w02[G:], qo2[G:], to2[G:],
+                 ok2[G:])
+
+    matches = left.matches + right.matches
+    alen = left.align_len + right.align_len
+    identity = 100.0 * matches / jnp.maximum(alen, 1)
+    pa = PairAlignment(
+        qbeg=qseed - left.q_adv, qend=qseed + right.q_adv,
+        tbeg=tseed - left.t_adv, tend=tseed + right.t_adv,
+        dist=left.dist + right.dist, matches=matches, align_len=alen,
+        identity=identity.astype(jnp.float32))
+    return pa, right_rows, left_rows
+
+
+@partial(jax.jit, static_argnames=("S", "W", "max_segs", "min_seg_identity",
+                                   "max_segs_left"))
+def extend_pair_batch_rows(q: jnp.ndarray, t: jnp.ndarray,
+                           qlen: jnp.ndarray, tlen: jnp.ndarray,
+                           qseed: jnp.ndarray, tseed: jnp.ndarray,
+                           *, S: int = C.ALIGN_SEGMENT,
+                           W: int = C.ALIGN_BAND, max_segs: int = 64,
+                           min_seg_identity: float = C.MIN_SEGMENT_IDENTITY,
+                           max_segs_left: int = 0):
+    """Jitted :func:`_pair_batch_rows_impl` (see its docstring)."""
+    return _pair_batch_rows_impl(q, t, qlen, tlen, qseed, tseed, S=S, W=W,
+                                 max_segs=max_segs,
+                                 min_seg_identity=min_seg_identity,
+                                 max_segs_left=max_segs_left)
 
 
 @partial(jax.jit, static_argnames=("S", "W", "max_segs", "min_seg_identity",

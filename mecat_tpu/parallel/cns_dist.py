@@ -351,7 +351,8 @@ def _slice_tables(mesh, db: PackedDB, templates: List[int],
                 mesh, L_s=L_s, L_t=L_t, S=S, W=W, max_segs=msegs_r,
                 max_segs_left=msegs_l, min_identity=opts.min_identity,
                 min_align_size=opts.min_align_size,
-                min_mapping_ratio=opts.min_mapping_ratio)
+                min_mapping_ratio=opts.min_mapping_ratio,
+                tags=os.environ.get("MECAT_TPU_CNS_TAGS", "banded"))
 
             def put(x):
                 return jax.device_put(x, sh_pairs)

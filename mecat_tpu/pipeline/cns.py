@@ -495,9 +495,20 @@ def plan_table_slices(db: PackedDB, templates: List[int],
             if (b + 1 - a) * L_t_b * D1 * 5 * 4 > cap:
                 break
             b += 1
+        # floor the slice to a multiple of TEMPLATE_SLOT_BUCKET: the device
+        # table shape [T, L_t, ...] keys every chunk/vote compile, and a
+        # free-running T made nearly EVERY full-scale slice a fresh 30-100 s
+        # remote compile (measured 2026-08-19: the 40-146 s slice tail).
+        # Leftovers pad up with inert slots at dispatch instead.
+        if b - a > TEMPLATE_SLOT_BUCKET:
+            b = a + ((b - a) // TEMPLATE_SLOT_BUCKET) * TEMPLATE_SLOT_BUCKET
         out.append(by_len[a:b])
         a = b
     return out
+
+
+#: device-table row granularity (see plan_table_slices)
+TEMPLATE_SLOT_BUCKET = 32
 
 
 def plan_pairs(db: PackedDB, templates: List[int], by_template,
@@ -529,18 +540,27 @@ def plan_pairs(db: PackedDB, templates: List[int], by_template,
     all_qs = np.clip(pairs_a[:, 3], 0, all_qlen - 1).astype(np.int32)
     all_ts = np.clip(pairs_a[:, 4], 0, all_tlen - 1).astype(np.int32)
 
-    # Per-direction segment budgets, exact from host-side metadata: the
-    # template consumed right of the seed is <= tlen - ts (left: ts + 1),
-    # every applied non-final segment advances >= S - S//4 query bases, and
-    # band drift bounds q_adv - t_adv by W//2 per segment, giving
-    # segs <= (span/eff + 1) * eff/(eff - W//2).  Chunks are grouped by
-    # budget so one long one-sided pair cannot widen every chunk's DP scan,
-    # traceback lane count and tag-fold width (budget-sized, the dominant
-    # cns costs on v5e).
+    # Per-direction segment budgets, exact from host-side metadata: every
+    # applied non-final segment advances >= eff = S - S//4 query bases
+    # (seg_step's continue rule), so the QUERY side bounds segments by
+    # (qlen - qs)/eff (+2: one final partial segment plus one crawl-tail
+    # margin); the TEMPLATE side consumed right of the seed is <= tlen - ts
+    # (left: ts + 1) and band drift bounds q_adv - t_adv by W//2 per
+    # segment, giving segs <= (span/eff + 1) * eff/(eff - W//2).  The MIN of
+    # the two sides is the budget — the query side usually binds (supports
+    # are shorter than the padded template bucket) and cut issued segment
+    # lanes 1.57x at E. coli scale (measured 2026-08-19).  Chunks are
+    # grouped by budget so one long one-sided pair cannot widen every
+    # chunk's DP scan, traceback lane count and tag-fold width
+    # (budget-sized, the dominant cns costs on v5e).
     eff = S - S // 4
     factor = eff / (eff - W // 2)
     segs_r = np.ceil(factor * ((all_tlen - all_ts) / eff + 1)).astype(np.int64)
     segs_l = np.ceil(factor * ((all_ts + 1) / eff + 1)).astype(np.int64)
+    segs_r = np.minimum(segs_r,
+                        (np.ceil((all_qlen - all_qs) / eff) + 2).astype(np.int64))
+    segs_l = np.minimum(segs_l,
+                        (np.ceil((all_qs + 1) / eff) + 2).astype(np.int64))
     segs_r = np.minimum(segs_r, msegs)
     segs_l = np.minimum(segs_l, msegs)
     order = np.argsort(segs_r + segs_l, kind="stable")
@@ -621,7 +641,11 @@ def _dispatch_slice_device(db: PackedDB, templates: List[int],
     timers = os.environ.get("MECAT_TPU_CNS_TIMERS") == "1"
     t_start = time.time() if timers else 0.0
 
-    T = len(templates)
+    # pad the table to the slot bucket: [T, L_t] keys every chunk/vote
+    # compile (see plan_table_slices), so T must come from a short ladder.
+    # Inert slots never accumulate tags (no pair references them) and never
+    # emit (has stays False).
+    T = -(-len(templates) // TEMPLATE_SLOT_BUCKET) * TEMPLATE_SLOT_BUCKET
     L_t = bucket_length(max(int(db.lengths[t]) for t in templates),
                         pow2=True)
     # supports are seed-windowed inside the chunk: their shape is bounded by
@@ -649,10 +673,11 @@ def _dispatch_slice_device(db: PackedDB, templates: List[int],
     counts = jnp.zeros((T, L_t, D1, 5), jnp.int32)
     cov_diff = jnp.zeros((T, L_t + 1), jnp.int32)
     has = jnp.zeros(T, dtype=bool)
-    tmpl_ids = jnp.asarray(np.asarray(templates, dtype=np.int32))
+    ids_pad = np.asarray(
+        list(templates) + [templates[0]] * (T - len(templates)), np.int32)
+    tmpl_ids = jnp.asarray(ids_pad)
     tmpl_mat = _gather_rows_dev(vol_cat, starts_d, lengths_d, tmpl_ids, L_t)
-    tmpl_len = np.minimum(db.lengths[np.asarray(templates)],
-                          L_t).astype(np.int32)
+    tmpl_len = np.minimum(db.lengths[ids_pad], L_t).astype(np.int32)
 
     pairs_a = plan["pairs"]
     for ofs in range(0, len(pairs_a), P):
@@ -807,7 +832,8 @@ def _gather_rows_dev(vol_cat, starts, lengths, ids, L: int):
 
 
 def make_cns_chunk(*, L_s, L_t, S, W, max_segs, max_segs_left,
-                   min_identity, min_align_size, min_mapping_ratio):
+                   min_identity, min_align_size, min_mapping_ratio,
+                   tags: str = "banded"):
     """Build the pure device cns-chunk fn: gather → align → filter → tags.
 
     Supports are gathered as SEED-CENTRED WINDOWS of L_s (callers bound
@@ -819,12 +845,21 @@ def make_cns_chunk(*, L_s, L_t, S, W, max_segs, max_segs_left,
     coordinates are handled internally.  max_segs / max_segs_left budget
     the right/left extension scans per chunk (see correct_batch_device).
 
+    ``tags`` selects the tag fold: "banded" (default) derives tags from
+    gather-free row-walk tracebacks and sliding-band dense planes
+    (ops/consensus_banded.py — the tape route's column walk + presence
+    scatter were 85% of the chunk on v5e); "tape" keeps the op-tape route
+    (ops/consensus_device.accumulate_tags).  Both produce EXACTLY equal
+    counts (tests/test_cns_banded.py).
+
     The returned function is pure (jit-able and shard_map-able: the
     template-sharded distributed cns wraps it per mesh shard —
     parallel/cns_dist.py).
     """
     import jax
-    from ..ops.align import extend_pair_batch_with_ops
+    from ..ops.align import (extend_pair_batch_rows,
+                             extend_pair_batch_with_ops)
+    from ..ops.consensus_banded import banded_accumulate_tags
     from ..ops.consensus_device import accumulate_tags
     import jax.numpy as jnp
 
@@ -843,9 +878,14 @@ def make_cns_chunk(*, L_s, L_t, S, W, max_segs, max_segs_left,
         q = jnp.where(col < w_len[:, None], rows, 0)
         qs_w = (qs_c - w0).astype(jnp.int32)
         t = _gather_rows_dev(vol_cat, starts, lengths, t_ids, L_t)
-        pa, right_t, left_t = extend_pair_batch_with_ops(
-            q, t, w_len, tlen, qs_w, ts, S=S, W=W, max_segs=max_segs,
-            max_segs_left=max_segs_left)
+        if tags == "banded":
+            pa, right_r, left_r = extend_pair_batch_rows(
+                q, t, w_len, tlen, qs_w, ts, S=S, W=W, max_segs=max_segs,
+                max_segs_left=max_segs_left)
+        else:
+            pa, right_t, left_t = extend_pair_batch_with_ops(
+                q, t, w_len, tlen, qs_w, ts, S=S, W=W, max_segs=max_segs,
+                max_segs_left=max_segs_left)
         # mapping ratio vs the maximal DOVETAIL EXTENT the seed allows in
         # FULL-read coordinates (identical formula to the host path — see
         # correct_batch; the full-length denominator discarded ~75% of real
@@ -857,9 +897,14 @@ def make_cns_chunk(*, L_s, L_t, S, W, max_segs, max_segs_left,
                 & ((pa.tend - pa.tbeg) >= min_align_size)
                 & (ratio >= min_mapping_ratio))
         has2 = has.at[t_slot].max(keep)
-        c2, v2 = accumulate_tags(counts, cov_diff, right_t, left_t,
-                                 qs_w, ts, q, w_len, tlen, t_slot, keep,
-                                 pa.tbeg, pa.tend, L_t=L_t)
+        if tags == "banded":
+            c2, v2 = banded_accumulate_tags(
+                counts, cov_diff, right_r, left_r, qs_w, ts, q, tlen,
+                t_slot, keep, pa.tbeg, pa.tend, L_t=L_t, S=S, W=W)
+        else:
+            c2, v2 = accumulate_tags(counts, cov_diff, right_t, left_t,
+                                     qs_w, ts, q, w_len, tlen, t_slot, keep,
+                                     pa.tbeg, pa.tend, L_t=L_t)
         return c2, v2, has2
 
     return chunk
@@ -873,15 +918,16 @@ def _cns_chunk_device(counts, cov_diff, has, vol_cat, starts, lengths,
     shape/filter key; counts/cov_diff/has donated across chunks)."""
     import jax
 
+    tags = os.environ.get("MECAT_TPU_CNS_TAGS", "banded")
     key = (L_s, L_t, S, W, max_segs, max_segs_left, float(min_identity),
-           int(min_align_size), float(min_mapping_ratio))
+           int(min_align_size), float(min_mapping_ratio), tags)
     fn = _CNS_CHUNK_CACHE.get(key)
     if fn is None:
         chunk = make_cns_chunk(
             L_s=L_s, L_t=L_t, S=S, W=W, max_segs=max_segs,
             max_segs_left=max_segs_left, min_identity=min_identity,
             min_align_size=min_align_size,
-            min_mapping_ratio=min_mapping_ratio)
+            min_mapping_ratio=min_mapping_ratio, tags=tags)
         fn = jax.jit(chunk, donate_argnums=(0, 1, 2))
         _CNS_CHUNK_CACHE[key] = fn
     return fn(counts, cov_diff, has, vol_cat, starts, lengths,

@@ -92,7 +92,7 @@ def main(argv=None):
     t_ops = timeit(run_ops, args.reps)
     t_cnt = timeit(run_counts, args.reps)
 
-    # full chunk: gathers + align + filters + accumulate_tags
+    # full chunk: gathers + align + filters + tag fold (both tag routes)
     from mecat_tpu.pipeline.cns import make_cns_chunk
     import jax
 
@@ -100,7 +100,13 @@ def main(argv=None):
     D1 = D1_mod.MAX_INS_DELTA + 1
     chunk = jax.jit(make_cns_chunk(
         L_s=L_s, L_t=L_t, S=S, W=W, max_segs=G, max_segs_left=G,
-        min_identity=70.0, min_align_size=500, min_mapping_ratio=0.5),
+        min_identity=70.0, min_align_size=500, min_mapping_ratio=0.5,
+        tags="tape"),
+        donate_argnums=(0, 1, 2))
+    chunk_banded = jax.jit(make_cns_chunk(
+        L_s=L_s, L_t=L_t, S=S, W=W, max_segs=G, max_segs_left=G,
+        min_identity=70.0, min_align_size=500, min_mapping_ratio=0.5,
+        tags="banded"),
         donate_argnums=(0, 1, 2))
     T = 100
     # flat volume = template then supports back to back (fwd + rc halves)
@@ -117,26 +123,32 @@ def main(argv=None):
     sdir = jnp.asarray(np.zeros(P, np.int32))
     real = jnp.asarray(np.ones(P, bool))
 
-    def run_chunk():
+    def run_chunk(fn):
         counts = jnp.zeros((T, L_t, D1, 5), jnp.int32)
         cov = jnp.zeros((T, L_t + 1), jnp.int32)
         has = jnp.zeros(T, bool)
-        c2, v2, h2 = chunk(counts, cov, has, vol_cat,
-                           jnp.asarray(starts_v.astype(np.int32)),
-                           jnp.asarray(lens_v.astype(np.int32)),
-                           np.int32(n_bases), s_ids, t_ids, jql, jtl,
-                           jqs, jts, t_slot, sdir, real)
+        c2, v2, h2 = fn(counts, cov, has, vol_cat,
+                        jnp.asarray(starts_v.astype(np.int32)),
+                        jnp.asarray(lens_v.astype(np.int32)),
+                        np.int32(n_bases), s_ids, t_ids, jql, jtl,
+                        jqs, jts, t_slot, sdir, real)
         sync(h2)
+        return c2
 
-    t_chunk = timeit(run_chunk, args.reps)
+    t_chunk = timeit(lambda: run_chunk(chunk), args.reps)
+    t_banded = timeit(lambda: run_chunk(chunk_banded), args.reps)
+    ca = np.asarray(run_chunk(chunk))
+    cb = np.asarray(run_chunk(chunk_banded))
     cells = 2 * G * S * W * P
     print(json.dumps({
         "pairs": P, "L_t": L_t, "segs_per_dir": G,
         "t_extend_with_ops_s": round(t_ops, 3),
         "t_extend_counts_s": round(t_cnt, 3),
-        "t_full_chunk_s": round(t_chunk, 3),
+        "t_full_chunk_tape_s": round(t_chunk, 3),
+        "t_full_chunk_banded_s": round(t_banded, 3),
         "traceback_plus_moves_s": round(t_ops - t_cnt, 3),
         "tagfold_gather_s": round(t_chunk - t_ops, 3),
+        "banded_equals_tape": bool(np.array_equal(ca, cb)),
         "issued_Gcells": round(cells / 1e9, 2),
         "counts_Gcells_per_s": round(cells / t_cnt / 1e9, 2),
     }), flush=True)
