@@ -609,12 +609,22 @@ def correct_batch_device(db: PackedDB, templates: List[int],
     if dev_vol is None:
         dev_vol = device_volume(db)   # upload once, not once per slice
     slices = plan_table_slices(db, templates)
+    preps = [None] * len(slices)
+    if (os.environ.get("MECAT_TPU_CNS_PRECOMPILE", "1") == "1"
+            and len(slices) > 2):
+        # plan every slice upfront (the plans are consumed by dispatch, so
+        # this is moved work, not extra work) and warm the chunk/vote
+        # compile ladder from background threads: remote compiles are
+        # 30-100 s each and otherwise serialise with execution, while the
+        # compile service accepts them concurrently.
+        preps = [_prepare_slice(db, sl, by_template, opts) for sl in slices]
+        _start_ladder_warmer(preps, opts, dev_vol, draft_mode=_draft)
     collect = _collect_slice_drafts if _draft else _collect_slice_device
     pending = None
     done = 0
-    for sl in slices:
+    for sl, prep in zip(slices, preps):
         nxt = _dispatch_slice_device(db, sl, by_template, opts, stats,
-                                     dev_vol, draft_mode=_draft)
+                                     dev_vol, draft_mode=_draft, prep=prep)
         if pending is not None:
             yield from collect(db, pending, opts, stats)
             done += 1
@@ -626,14 +636,128 @@ def correct_batch_device(db: PackedDB, templates: List[int],
         yield from collect(db, pending, opts, stats)
 
 
+def _slice_shapes(db: PackedDB, templates: List[int], opts: CnsOptions):
+    """Static shape tuple (T, L_t, L_s, msegs, P, D1) of one table slice."""
+    T = -(-len(templates) // TEMPLATE_SLOT_BUCKET) * TEMPLATE_SLOT_BUCKET
+    L_t = bucket_length(max(int(db.lengths[t]) for t in templates),
+                        pow2=True)
+    L_s = bucket_length(min(int(db.lengths.max()), 3 * L_t), pow2=True)
+    S = opts.align_segment
+    msegs = max_segs_for(min(max(L_t, L_s), int(1.4 * L_t) + 2 * S), S)
+    return T, L_t, L_s, msegs, opts.extend_batch, C.MAX_INS_DELTA + 1
+
+
+def _prepare_slice(db: PackedDB, templates: List[int], by_template,
+                   opts: CnsOptions):
+    """Plan + derive every jit key one slice will need (see
+    correct_batch_device's warmer)."""
+    T, L_t, L_s, msegs, P, D1 = _slice_shapes(db, templates, opts)
+    plan = plan_pairs(db, templates, by_template, opts, L_t, msegs)
+    keys = []
+    if plan is not None:
+        for ofs in range(0, len(plan["pairs"]), P):
+            sl = slice(ofs, ofs + P)
+            keys.append((L_s, L_t, T,
+                         seg_bucket(int(plan["segs_r"][sl].max()), msegs),
+                         seg_bucket(int(plan["segs_l"][sl].max()), msegs)))
+    return dict(shapes=(T, L_t, L_s, msegs, P, D1), plan=plan,
+                chunk_keys=keys)
+
+
+_WARMED: set = set()
+
+
+def _start_ladder_warmer(preps, opts: CnsOptions, dev_vol,
+                         draft_mode: bool) -> None:
+    """Issue every NEW chunk/vote compile from daemon threads, in first-use
+    order, by calling the real jitted fns on zero dummies of the right
+    shapes.  The dummies' device work is negligible (empty lanes); the
+    wins are (a) concurrent remote compiles and (b) the main loop's calls
+    landing on a fully-warm in-process jit cache."""
+    import threading
+    from queue import Queue
+
+    from ..ops.consensus_device import call_tables
+    import jax.numpy as jnp
+
+    jobs = []
+    seen = set()
+    S, W = opts.align_segment, opts.align_band
+    filt = (float(opts.min_identity), int(opts.min_align_size),
+            float(opts.min_mapping_ratio))
+    vote = opts.vote_params()
+    for prep in preps:
+        if prep["plan"] is None:
+            continue
+        T, L_t, L_s, msegs, P, D1 = prep["shapes"]
+        for (L_s_k, L_t_k, T_k, mr, ml) in prep["chunk_keys"]:
+            key = ("chunk", L_s_k, L_t_k, T_k, mr, ml)
+            if key not in seen and key not in _WARMED:
+                seen.add(key)
+                jobs.append(key + (P,))
+        vkey = ("vote", T, L_t, D1)
+        if vkey not in seen and vkey not in _WARMED:
+            seen.add(vkey)
+            jobs.append(vkey)
+    if not jobs:
+        return
+    q: Queue = Queue()
+    for j in jobs:
+        q.put(j)
+
+    vol_cat, starts_d, lengths_d, n_bases = dev_vol
+
+    def work():
+        while True:
+            try:
+                job = q.get_nowait()
+            except Exception:
+                return
+            try:
+                if job[0] == "chunk":
+                    _, L_s_k, L_t_k, T_k, mr, ml, P_k = job
+                    zi = jnp.zeros(P_k, jnp.int32)
+                    _cns_chunk_device(
+                        jnp.zeros((T_k, L_t_k, C.MAX_INS_DELTA + 1, 5),
+                                  jnp.int32),
+                        jnp.zeros((T_k, L_t_k + 1), jnp.int32),
+                        jnp.zeros(T_k, bool), vol_cat, starts_d, lengths_d,
+                        n_bases, zi, zi, jnp.ones(P_k, jnp.int32),
+                        jnp.ones(P_k, jnp.int32), zi, zi, zi, zi,
+                        jnp.zeros(P_k, bool), L_s=L_s_k, L_t=L_t_k, S=S,
+                        W=W, max_segs=mr, max_segs_left=ml,
+                        min_identity=filt[0], min_align_size=filt[1],
+                        min_mapping_ratio=filt[2])
+                else:
+                    _, T_k, L_t_k, D1_k = job
+                    call_tables(
+                        jnp.zeros((T_k, L_t_k, D1_k, 5), jnp.int32),
+                        jnp.zeros((T_k, L_t_k + 1), jnp.int32),
+                        jnp.zeros((T_k, L_t_k), jnp.uint8),
+                        jnp.ones(T_k, jnp.int32), jnp.zeros(T_k, bool),
+                        jnp.int32(opts.min_coverage),
+                        draft_mode=draft_mode, vote=vote)
+                _WARMED.add(job[:6] if job[0] == "chunk" else job)
+            except Exception as e:    # pragma: no cover - best effort
+                log.info("cns: ladder warmer: %s failed (%s)", job[0], e)
+
+    n_threads = int(os.environ.get("MECAT_TPU_CNS_PRECOMPILE_THREADS", "3"))
+    log.info("cns: warming %d compile-ladder shapes on %d threads",
+             len(jobs), n_threads)
+    for _ in range(min(n_threads, len(jobs))):
+        threading.Thread(target=work, daemon=True).start()
+
+
 def _dispatch_slice_device(db: PackedDB, templates: List[int],
                            by_template, opts: CnsOptions, stats: CnsStats,
-                           dev_vol, draft_mode: bool = False):
+                           dev_vol, draft_mode: bool = False, prep=None):
     """Plan + dispatch one table slice's device work (all calls async).
 
     Returns (templates, emit_dev, cov_ok_dev, has_dev) — device arrays the
     collector pulls later — or None when no template in the slice has
-    supports."""
+    supports.  ``prep`` (from :func:`_prepare_slice`) supplies a
+    precomputed plan + shapes (the compile-ladder warmer path).
+    """
     from .. import constants as C
     from ..ops.consensus_device import call_tables
     import jax.numpy as jnp
@@ -641,27 +765,18 @@ def _dispatch_slice_device(db: PackedDB, templates: List[int],
     timers = os.environ.get("MECAT_TPU_CNS_TIMERS") == "1"
     t_start = time.time() if timers else 0.0
 
-    # pad the table to the slot bucket: [T, L_t] keys every chunk/vote
-    # compile (see plan_table_slices), so T must come from a short ladder.
-    # Inert slots never accumulate tags (no pair references them) and never
-    # emit (has stays False).
-    T = -(-len(templates) // TEMPLATE_SLOT_BUCKET) * TEMPLATE_SLOT_BUCKET
-    L_t = bucket_length(max(int(db.lengths[t]) for t in templates),
-                        pow2=True)
-    # supports are seed-windowed inside the chunk: their shape is bounded by
-    # the template, not by the longest support read.  Bound by the DB-WIDE
-    # max read length (not the slice's) so L_s is a pure function of L_t —
-    # every distinct jit shape costs a 30-100 s remote compile here.
-    L_s = bucket_length(min(int(db.lengths.max()), 3 * L_t), pow2=True)
+    # [T, L_t] keys every chunk/vote compile (see plan_table_slices /
+    # _slice_shapes), so T is padded to the slot bucket: inert slots never
+    # accumulate tags (no pair references them) and never emit (has stays
+    # False).  L_s is a pure function of L_t (DB-wide max read length), and
+    # msegs bounds per-direction consumption at ~1.4x the template.
+    if prep is not None:
+        T, L_t, L_s, msegs, P, D1 = prep["shapes"]
+        plan = prep["plan"]
+    else:
+        T, L_t, L_s, msegs, P, D1 = _slice_shapes(db, templates, opts)
+        plan = plan_pairs(db, templates, by_template, opts, L_t, msegs)
     S, W = opts.align_segment, opts.align_band
-    # per-DIRECTION consumption is bounded by ~1.4x the template (the
-    # support window is 3x L_t only to cover asymmetric seeds); sizing the
-    # segment scan off L_s doubled the ops-path DP + traceback cost
-    msegs = max_segs_for(min(max(L_t, L_s), int(1.4 * L_t) + 2 * S), S)
-    P = opts.extend_batch
-    D1 = C.MAX_INS_DELTA + 1
-
-    plan = plan_pairs(db, templates, by_template, opts, L_t, msegs)
     if plan is None:
         return None
     t_plan = (time.time() - t_start) if timers else 0.0
