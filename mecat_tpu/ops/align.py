@@ -687,8 +687,20 @@ def _pair_batch_rows_impl(q, t, qlen, tlen, qseed, tseed, *, S, W, max_segs,
 
     moves2, r2, w2, qo2, to2, ok2 = [
         jnp.concatenate([r, l], axis=0) for r, l in zip(right_raw, left_raw)]
-    mv2, h2, wo2, w02 = jax.vmap(
-        lambda m, r, w: traceback_rows(m, r, w, W))(moves2, r2, w2)
+    # ONE flat walk over every (segment, pair) lane instead of a vmap over
+    # segments: the scan-under-vmap form MISCOMPILES on XLA:TPU at larger
+    # segment counts (G=32/S=512: trajectories silently drift cols while
+    # emitting plausible op sequences — caught 2026-08-19 by the banded
+    # full-scale accuracy drop; CPU was exact).  Flat lanes lower cleanly.
+    G2 = moves2.shape[0]
+    S_m, Wp = moves2.shape[1], moves2.shape[2]
+    flat_m = jnp.moveaxis(moves2, 0, -1).reshape(S_m, Wp, B * G2)
+    flat_r = r2.T.reshape(-1)
+    flat_w = w2.T.reshape(-1)
+    mv2, h2, wo2, w02 = traceback_rows(flat_m, flat_r, flat_w, W)
+    unflat = lambda a: jnp.moveaxis(a.reshape(B, G2, -1), 1, 0)
+    mv2, h2, wo2 = unflat(mv2), unflat(h2), unflat(wo2)
+    w02 = w02.reshape(B, G2).T
     G = max_segs
     right_rows = (mv2[:G], h2[:G], wo2[:G], w02[:G], qo2[:G], to2[:G],
                   ok2[:G])
