@@ -670,13 +670,16 @@ _WARMED: set = set()
 def _start_ladder_warmer(preps, opts: CnsOptions, dev_vol,
                          draft_mode: bool) -> None:
     """Issue every NEW chunk/vote compile from daemon threads, in first-use
-    order, by calling the real jitted fns on zero dummies of the right
-    shapes.  The dummies' device work is negligible (empty lanes); the
-    wins are (a) concurrent remote compiles and (b) the main loop's calls
-    landing on a fully-warm in-process jit cache."""
+    order, COMPILE-ONLY (``.lower(...).compile()`` on ShapeDtypeStructs):
+    compiles run concurrently on the remote compile service and populate
+    the persistent compilation cache, so the main loop's first call per
+    shape deserialises instead of compiling.  No device buffers — an
+    earlier dummy-execution variant stacked donated tables from 3 threads
+    on top of the live run and exhausted HBM."""
     import threading
     from queue import Queue
 
+    import jax
     from ..ops.consensus_device import call_tables
     import jax.numpy as jnp
 
@@ -705,7 +708,12 @@ def _start_ladder_warmer(preps, opts: CnsOptions, dev_vol,
     for j in jobs:
         q.put(j)
 
-    vol_cat, starts_d, lengths_d, n_bases = dev_vol
+    vol_cat, starts_d, lengths_d, _ = dev_vol
+    sds = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt)
+    i32, u8, b8 = jnp.int32, jnp.uint8, jnp.bool_
+    vol_sd = sds(vol_cat.shape, vol_cat.dtype)
+    st_sd = sds(starts_d.shape, starts_d.dtype)
+    ln_sd = sds(lengths_d.shape, lengths_d.dtype)
 
     def work():
         while True:
@@ -716,27 +724,23 @@ def _start_ladder_warmer(preps, opts: CnsOptions, dev_vol,
             try:
                 if job[0] == "chunk":
                     _, L_s_k, L_t_k, T_k, mr, ml, P_k = job
-                    zi = jnp.zeros(P_k, jnp.int32)
-                    _cns_chunk_device(
-                        jnp.zeros((T_k, L_t_k, C.MAX_INS_DELTA + 1, 5),
-                                  jnp.int32),
-                        jnp.zeros((T_k, L_t_k + 1), jnp.int32),
-                        jnp.zeros(T_k, bool), vol_cat, starts_d, lengths_d,
-                        n_bases, zi, zi, jnp.ones(P_k, jnp.int32),
-                        jnp.ones(P_k, jnp.int32), zi, zi, zi, zi,
-                        jnp.zeros(P_k, bool), L_s=L_s_k, L_t=L_t_k, S=S,
-                        W=W, max_segs=mr, max_segs_left=ml,
-                        min_identity=filt[0], min_align_size=filt[1],
-                        min_mapping_ratio=filt[2])
+                    fn = _get_chunk_jit(
+                        L_s=L_s_k, L_t=L_t_k, S=S, W=W, max_segs=mr,
+                        max_segs_left=ml, min_identity=filt[0],
+                        min_align_size=filt[1], min_mapping_ratio=filt[2])
+                    pi = sds((P_k,), i32)
+                    fn.lower(
+                        sds((T_k, L_t_k, C.MAX_INS_DELTA + 1, 5), i32),
+                        sds((T_k, L_t_k + 1), i32), sds((T_k,), b8),
+                        vol_sd, st_sd, ln_sd, sds((), i32), pi, pi, pi,
+                        pi, pi, pi, pi, pi, sds((P_k,), b8)).compile()
                 else:
                     _, T_k, L_t_k, D1_k = job
-                    call_tables(
-                        jnp.zeros((T_k, L_t_k, D1_k, 5), jnp.int32),
-                        jnp.zeros((T_k, L_t_k + 1), jnp.int32),
-                        jnp.zeros((T_k, L_t_k), jnp.uint8),
-                        jnp.ones(T_k, jnp.int32), jnp.zeros(T_k, bool),
-                        jnp.int32(opts.min_coverage),
-                        draft_mode=draft_mode, vote=vote)
+                    call_tables.lower(
+                        sds((T_k, L_t_k, D1_k, 5), i32),
+                        sds((T_k, L_t_k + 1), i32), sds((T_k, L_t_k), u8),
+                        sds((T_k,), i32), sds((T_k,), b8), sds((), i32),
+                        draft_mode=draft_mode, vote=vote).compile()
                 _WARMED.add(job[:6] if job[0] == "chunk" else job)
             except Exception as e:    # pragma: no cover - best effort
                 log.info("cns: ladder warmer: %s failed (%s)", job[0], e)
@@ -1033,6 +1037,21 @@ def _cns_chunk_device(counts, cov_diff, has, vol_cat, starts, lengths,
     shape/filter key; counts/cov_diff/has donated across chunks)."""
     import jax
 
+    fn = _get_chunk_jit(
+        L_s=L_s, L_t=L_t, S=S, W=W, max_segs=max_segs,
+        max_segs_left=max_segs_left, min_identity=min_identity,
+        min_align_size=min_align_size, min_mapping_ratio=min_mapping_ratio)
+    return fn(counts, cov_diff, has, vol_cat, starts, lengths,
+              np.int32(n_bases), s_ids, t_ids,
+              qlen, tlen, qs, ts, t_slot, sdir, real)
+
+
+def _get_chunk_jit(*, L_s, L_t, S, W, max_segs, max_segs_left, min_identity,
+                   min_align_size, min_mapping_ratio):
+    """The cached jitted chunk fn for one shape/filter key (thread-safe
+    enough: dict ops are atomic and a benign double-create loses a race)."""
+    import jax
+
     tags = os.environ.get("MECAT_TPU_CNS_TAGS", "banded")
     key = (L_s, L_t, S, W, max_segs, max_segs_left, float(min_identity),
            int(min_align_size), float(min_mapping_ratio), tags)
@@ -1045,9 +1064,7 @@ def _cns_chunk_device(counts, cov_diff, has, vol_cat, starts, lengths,
             min_mapping_ratio=min_mapping_ratio, tags=tags)
         fn = jax.jit(chunk, donate_argnums=(0, 1, 2))
         _CNS_CHUNK_CACHE[key] = fn
-    return fn(counts, cov_diff, has, vol_cat, starts, lengths,
-              np.int32(n_bases), s_ids, t_ids,
-              qlen, tlen, qs, ts, t_slot, sdir, real)
+    return fn
 
 
 _CNS_CHUNK_CACHE: Dict = {}
