@@ -654,7 +654,7 @@ def _pair_batch_rows_impl(q, t, qlen, tlen, qseed, tseed, *, S, W, max_segs,
     Same DP as extend_pair_batch_with_ops, but the tracebacks run
     :func:`traceback_rows` (gather-free) and the per-segment outputs stay in
     row form — the raw material for the banded consensus tag emitter
-    (ops/consensus_device.banded tags path), which never builds the
+    (ops/consensus_banded.py), which never builds the
     [G, B, MAXC] column tapes at all.  Returns (pa, right_rows, left_rows);
     each rows tuple is (mv, h, wo [G, B, S], w0 [G, B], qoff, toff, ok
     [G, B]) in the direction's local coordinates.
