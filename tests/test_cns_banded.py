@@ -105,3 +105,63 @@ def test_row_walk_equals_column_walk():
     for a, b in ((ops0, ops1), (qi0, qi1), (tj0, tj1)):
         assert np.array_equal(np.asarray(a)[valid], np.asarray(b)[valid])
     assert np.array_equal(np.asarray(n0)[valid], np.asarray(n1)[valid])
+
+
+def test_banded_equals_tape_clipped_windows():
+    """Window-clipped supports (qlen > L_s, w0 > 0): the config class the
+    full-scale run exercises but small tests missed (support reads longer
+    than the seed-centred window)."""
+    import jax
+
+    from mecat_tpu.pipeline.cns import make_cns_chunk
+
+    P, L_t, L_s = 16, 1024, 2048
+    S, W, G = 256, 64, 6
+    rng = np.random.default_rng(9)
+    tmpl = random_genome(L_t - 40, seed=43)
+    sup_list = []
+    for p in range(P):
+        a = int(rng.integers(0, len(tmpl) // 2))
+        b = int(rng.integers(a + 500, len(tmpl) + 1))
+        core = mutate(tmpl[a:b], rng, 0.04, 0.05, 0.04)
+        lf = random_genome(int(rng.integers(1500, 2500)), seed=1000 + p)
+        rf = random_genome(int(rng.integers(1500, 2500)), seed=2000 + p)
+        sup_list.append((np.concatenate([lf, core, rf]),
+                         len(lf) + (b - a) // 2, a + (b - a) // 2))
+    qlen = np.array([len(s[0]) for s in sup_list], np.int32)
+    assert qlen.max() > L_s  # windows really clip
+    reads = [tmpl] + [s[0] for s in sup_list]
+    lens_v = np.array([len(r) for r in reads], np.int64)
+    starts_v = np.concatenate([[0], np.cumsum(lens_v)[:-1]])
+    n_bases = int(lens_v.sum())
+    fwd = np.concatenate(reads)
+    vol_cat = jnp.asarray(np.concatenate(
+        [fwd, (3 - fwd[::-1]), np.zeros(L_s + 1024, np.uint8)]))
+    s_ids = jnp.asarray(np.arange(1, P + 1, dtype=np.int32))
+    t_ids = jnp.zeros(P, jnp.int32)
+    t_slot = jnp.asarray((np.arange(P) % 4).astype(np.int32))
+    tlen = jnp.asarray(np.full(P, len(tmpl), np.int32))
+    qs = jnp.asarray(np.array([s[1] for s in sup_list], np.int32))
+    ts = jnp.asarray(np.array([min(s[2], len(tmpl) - 1) for s in sup_list],
+                              np.int32))
+    D1 = C.MAX_INS_DELTA + 1
+    T = 4
+    outs = {}
+    for mode in ("tape", "banded"):
+        chunk = jax.jit(make_cns_chunk(
+            L_s=L_s, L_t=L_t, S=S, W=W, max_segs=G, max_segs_left=G,
+            min_identity=60.0, min_align_size=200, min_mapping_ratio=0.05,
+            tags=mode))
+        for sd in (0, 1):
+            c, v, h = chunk(
+                jnp.zeros((T, L_t, D1, 5), jnp.int32),
+                jnp.zeros((T, L_t + 1), jnp.int32), jnp.zeros(T, bool),
+                vol_cat, jnp.asarray(starts_v.astype(np.int32)),
+                jnp.asarray(lens_v.astype(np.int32)), np.int32(n_bases),
+                s_ids, t_ids, jnp.asarray(qlen), tlen, qs, ts, t_slot,
+                jnp.full(P, sd, jnp.int32), jnp.ones(P, bool))
+            outs[(mode, sd)] = (np.asarray(c), np.asarray(v), np.asarray(h))
+    assert outs[("tape", 0)][0].sum() > 10_000  # real tag mass landed
+    for sd in (0, 1):
+        for a, b in zip(outs[("tape", sd)], outs[("banded", sd)]):
+            assert np.array_equal(a, b)
