@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="correction rounds: 2 realigns the raw supports "
                         "against the round-1 draft (higher accuracy, ~2x "
                         "alignment time)")
+    p.add_argument("--draft-est-coverage", type=int, default=None,
+                   help="est-coverage cap for NON-final rounds (drafting "
+                        "needs less coverage than the final vote; cuts "
+                        "rounds>1 cost). Default: same as max-est-coverage")
     p.add_argument("input", help="candidates/M4 file from mecat2pw")
     p.add_argument("reads", help="raw reads FASTA/FASTQ")
     p.add_argument("output", help="corrected reads FASTA")
@@ -65,6 +69,7 @@ def main(argv=None) -> int:
         min_length=args.min_length, align_segment=args.align_segment,
         align_band=args.align_band, extend_batch=args.extend_batch,
         max_est_coverage=args.max_est_coverage,
+        draft_est_coverage=args.draft_est_coverage,
         rounds=args.rounds)
     stats = run_cns(args.input, args.reads, args.output, opts)
     log.info("done: %d templates, %d supports aligned, %d corrected reads "

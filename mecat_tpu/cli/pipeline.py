@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--diag-bin", type=int, default=C.DDF_DIAG_BIN)
     p.add_argument("--rounds", type=int, default=1,
                    help="cns correction rounds (2 = realign vs draft)")
+    p.add_argument("--draft-est-coverage", type=int, default=None,
+                   help="est-coverage cap for non-final cns rounds")
     p.add_argument("--resume", action="store_true", default=True,
                    help="skip stages whose output artifact already exists")
     p.add_argument("--no-resume", dest="resume", action="store_false")
@@ -110,6 +112,7 @@ def main(argv=None) -> int:
             align_segment=args.align_segment,
             align_band=args.align_band,
             extend_batch=args.extend_batch,
+            draft_est_coverage=args.draft_est_coverage,
             rounds=args.rounds)))
     stage("extract", extracted,
           lambda: _extract_to(corrected, extracted, args))

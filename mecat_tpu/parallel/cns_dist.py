@@ -186,7 +186,7 @@ def append_device_volume_mesh(dev_vol, tail_db: PackedDB, n_old_reads: int,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())
-    vol_cat, starts_d, lengths_d, n_bases = dev_vol
+    vol_cat, starts_d, lengths_d, n_bases = dev_vol[:4]
     tail_start = int(tail_db.starts[n_old_reads])
     tail_codes = tail_db.codes[tail_start:]
     tail_lengths = tail_db.lengths[n_old_reads:]
@@ -297,7 +297,7 @@ def _slice_tables(mesh, db: PackedDB, templates: List[int],
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_data = mesh.shape["data"]
-    vol_cat, starts_d, lengths_d, n_bases = dev_vol
+    vol_cat, starts_d, lengths_d, n_bases = dev_vol[:4]
     T = len(templates)
     T_loc = -(-T // n_data)
     T_pad = T_loc * n_data

@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -57,6 +57,12 @@ class CnsOptions:
     #: scale target 25 cuts supports-to-align to 54% (567k -> 306k).
     #: TODO(ref): the reference caps by count, not estimated coverage.
     max_est_coverage: int = 25
+    #: estimated-coverage cap for NON-FINAL rounds (rounds > 1).  The draft
+    #: only has to be mostly-clean — realignment + the final full-coverage
+    #: vote wash out small draft-quality differences (pile sweep 2026-08-19)
+    #: — so drafting from fewer supports cuts round-1 alignment cost ~40%
+    #: at E. coli scale.  None = use max_est_coverage.
+    draft_est_coverage: Optional[int] = None
     #: correction rounds (--rounds).  Rounds > 1 re-align the SAME raw
     #: supports against the previous round's full-length draft (seeds are
     #: coordinate-mapped through the draft's emit map): alignment-level
@@ -708,7 +714,7 @@ def _start_ladder_warmer(preps, opts: CnsOptions, dev_vol,
     for j in jobs:
         q.put(j)
 
-    vol_cat, starts_d, lengths_d, _ = dev_vol
+    vol_cat, starts_d, lengths_d = dev_vol[0], dev_vol[1], dev_vol[2]
     sds = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt)
     i32, u8, b8 = jnp.int32, jnp.uint8, jnp.bool_
     vol_sd = sds(vol_cat.shape, vol_cat.dtype)
@@ -787,7 +793,7 @@ def _dispatch_slice_device(db: PackedDB, templates: List[int],
 
     if dev_vol is None:
         dev_vol = device_volume(db)
-    vol_cat, starts_d, lengths_d, n_bases = dev_vol
+    vol_cat, starts_d, lengths_d, n_bases = dev_vol[:4]
 
     counts = jnp.zeros((T, L_t, D1, 5), jnp.int32)
     cov_diff = jnp.zeros((T, L_t + 1), jnp.int32)
@@ -910,15 +916,32 @@ def _collect_slice_drafts(db: PackedDB, pending, opts: CnsOptions,
         yield t, (draft, pos_map)
 
 
-def device_volume(db: PackedDB):
+class _DeviceVolume(NamedTuple):
+    vol_cat: "jnp.ndarray"     # [cap] uint8 [fwd | rc | slack | reserve]
+    starts: "jnp.ndarray"      # [R_cap] int32 (rows past `n_reads` inert)
+    lengths: "jnp.ndarray"     # [R_cap] int32
+    n_bases: int               # forward-base count (rc addressing)
+    used: int = -1             # next free write offset (-1: no reserve)
+    n_reads: int = -1          # rows currently meaningful (-1: no reserve)
+
+
+def device_volume(db: PackedDB, reserve_bases: int = 0,
+                  reserve_reads: int = 0):
     """Upload the volume once: [fwd bases | revcomp bases | zero slack].
 
-    Returns (vol_cat, starts, lengths, n_bases).  With the reverse
-    complement resident, an ORIENTED seed-centred support window is one
-    contiguous dynamic_slice from either half — the former per-element
-    orient gather (take_along_axis over the window) cost ~10 ns/element on
-    v5e and dominated the chunk's gather stage.  rc(read r)[x] lives at
+    Returns a :class:`_DeviceVolume`.  With the reverse complement
+    resident, an ORIENTED seed-centred support window is one contiguous
+    dynamic_slice from either half — the former per-element orient gather
+    (take_along_axis over the window) cost ~10 ns/element on v5e and
+    dominated the chunk's gather stage.  rc(read r)[x] lives at
     vol_cat[2*n_bases - starts[r] - lengths[r] + x].
+
+    ``reserve_bases``/``reserve_reads`` pre-allocate bucketed headroom so
+    :func:`append_device_volume` can add correction-round drafts IN PLACE
+    (``jax.lax.dynamic_update_slice``) without changing any array shape:
+    array shapes key every cns chunk/vote jit, and the former grow-by-
+    concatenate append forced a full 30-100 s-per-shape remote recompile
+    of the whole chunk ladder in every round > 1 (VERDICT r4 item 2).
     """
     import jax.numpy as jnp
 
@@ -927,11 +950,23 @@ def device_volume(db: PackedDB):
     vol = upload_codes(db.codes)
     n_bases = int(vol.shape[0])
     slack = int(3 * int(db.lengths.max()) + 1024) if db.n_reads else 1024
+    used = 2 * n_bases + slack
+    cap = bucket_length(used + max(0, reserve_bases)) if reserve_bases \
+        else used
     vol_cat = jnp.concatenate([
         vol, (3 - vol[::-1].astype(jnp.int32)).astype(vol.dtype),
-        jnp.zeros((slack,), dtype=vol.dtype)])
-    return (vol_cat, jnp.asarray(db.starts.astype(np.int32)),
-            jnp.asarray(db.lengths), n_bases)
+        jnp.zeros((cap - 2 * n_bases,), dtype=vol.dtype)])
+    starts = db.starts.astype(np.int32)
+    lengths = np.asarray(db.lengths)
+    if reserve_reads:
+        r_cap = db.n_reads + reserve_reads
+        starts = np.concatenate(
+            [starts, np.zeros(r_cap - db.n_reads, np.int32)])
+        lengths = np.concatenate(
+            [lengths, np.zeros(r_cap - db.n_reads, lengths.dtype)])
+    return _DeviceVolume(vol_cat, jnp.asarray(starts), jnp.asarray(lengths),
+                         n_bases, used if reserve_bases else -1,
+                         db.n_reads if reserve_reads else -1)
 
 
 def _gather_rows_dev(vol_cat, starts, lengths, ids, L: int):
@@ -1102,26 +1137,91 @@ def append_device_volume(dev_vol, tail_db: PackedDB, n_old_reads: int):
     untouched.  Drafts are template-side only and always gathered forward,
     so they need no rc half — just fresh slack after them so windowed
     dynamic_slices never clamp.
+
+    When the volume was built with reserve headroom (see
+    :func:`device_volume`) and the tail fits, the append is IN PLACE
+    (``dynamic_update_slice``) and every array shape is preserved — the
+    next correction round then reuses the whole compiled chunk/vote
+    ladder instead of recompiling it (the dominant rounds=2 wall cost).
+    Falls back to the grow-by-concatenate path when headroom is missing
+    or exhausted.
     """
+    import jax
     import jax.numpy as jnp
 
     from ..io.packed_db import upload_codes
 
-    vol_cat, starts_d, lengths_d, n_bases = dev_vol
+    dv = _as_device_volume(dev_vol)
+    vol_cat, starts_d, lengths_d, n_bases = dv[:4]
     tail_start = int(tail_db.starts[n_old_reads])
     tail_codes = tail_db.codes[tail_start:]
     tail_lengths = tail_db.lengths[n_old_reads:]
-    base = int(vol_cat.shape[0])
+    n_new = tail_db.n_reads - n_old_reads
     slack = int(3 * int(tail_lengths.max()) + 1024)
+    # bucket the tail upload so its unpack jit stays on the shape ladder
+    tail_dev = upload_codes(tail_codes, bucket_length(len(tail_codes)))
+
+    in_place = (
+        dv.used >= 0 and dv.n_reads >= 0
+        and dv.used + int(tail_dev.shape[0]) + slack <= int(vol_cat.shape[0])
+        and dv.n_reads + n_new <= int(starts_d.shape[0])
+        # tail_db must extend THIS volume's read table, not some other db's
+        and dv.n_reads == n_old_reads)
+    if in_place:
+        vol2 = jax.lax.dynamic_update_slice(vol_cat, tail_dev, (dv.used,))
+        new_starts = jnp.asarray(
+            (dv.used + (tail_db.starts[n_old_reads:] - tail_start)
+             ).astype(np.int32))
+        starts2 = jax.lax.dynamic_update_slice(
+            starts_d, new_starts, (n_old_reads,))
+        lengths2 = jax.lax.dynamic_update_slice(
+            lengths_d, jnp.asarray(tail_lengths).astype(lengths_d.dtype),
+            (n_old_reads,))
+        return _DeviceVolume(vol2, starts2, lengths2, n_bases,
+                             dv.used + int(tail_dev.shape[0]) + slack,
+                             n_old_reads + n_new)
+
+    if dv.n_reads >= 0:
+        # reserve exhausted on a padded volume: drop the inert pad rows so
+        # appended read ids keep indexing their own starts/lengths rows
+        starts_d = starts_d[:dv.n_reads]
+        lengths_d = lengths_d[:dv.n_reads]
+    base = int(vol_cat.shape[0])
     vol2 = jnp.concatenate([
-        vol_cat, upload_codes(tail_codes),
-        jnp.zeros((slack,), dtype=vol_cat.dtype)])
+        vol_cat, tail_dev, jnp.zeros((slack,), dtype=vol_cat.dtype)])
     starts2 = jnp.concatenate([
         starts_d,
         jnp.asarray((base + (tail_db.starts[n_old_reads:] - tail_start)
                      ).astype(np.int32))])
-    lengths2 = jnp.concatenate([lengths_d, jnp.asarray(tail_lengths)])
-    return (vol2, starts2, lengths2, n_bases)
+    lengths2 = jnp.concatenate(
+        [lengths_d, jnp.asarray(tail_lengths).astype(lengths_d.dtype)])
+    return _DeviceVolume(vol2, starts2, lengths2, n_bases, -1, -1)
+
+
+def device_volume_for_rounds(db: PackedDB, opts: "CnsOptions"):
+    """Device volume with draft headroom for ``opts.rounds`` rounds.
+
+    Drafts total at most ~1.15x the template bases per extra round (vote
+    insertions can lengthen a draft slightly); reserving that up front
+    keeps every round's array shapes — and therefore every chunk/vote jit
+    key — identical (see append_device_volume)."""
+    rounds = max(1, int(getattr(opts, "rounds", 1)))
+    if rounds <= 1 or not db.n_reads:
+        return device_volume(db)
+    n_bases = int(db.lengths.sum())
+    per_round = int(1.15 * n_bases) + 3 * int(db.lengths.max()) + 2048
+    return device_volume(db, reserve_bases=(rounds - 1) * per_round,
+                         reserve_reads=(rounds - 1) * db.n_reads)
+
+
+def _as_device_volume(dev_vol) -> "_DeviceVolume":
+    """Accept legacy 4-tuples (tests/tools) and the named form."""
+    if isinstance(dev_vol, _DeviceVolume):
+        return dev_vol
+    parts = tuple(dev_vol)
+    if len(parts) == 4:
+        return _DeviceVolume(*parts, -1, -1)
+    return _DeviceVolume(*parts)
 
 
 def append_drafts(cur_db: PackedDB, cur_ids: List[int], cur_by,
@@ -1177,16 +1277,22 @@ def correct_batch_rounds(db: PackedDB, templates: List[int],
     rounds = max(1, int(opts.rounds))
     cur_db, cur_ids, cur_by, cur_vol = db, list(templates), by_template, \
         dev_vol
+    draft_opts = opts
+    if opts.draft_est_coverage:
+        from dataclasses import replace as _dc_replace
+
+        draft_opts = _dc_replace(
+            opts, max_est_coverage=int(opts.draft_est_coverage))
     for _ in range(rounds - 1):
         scratch = CnsStats()
         if device:
             if cur_vol is None:
-                cur_vol = device_volume(cur_db)
+                cur_vol = device_volume_for_rounds(cur_db, opts)
             drafts = dict(correct_batch_device(
-                cur_db, cur_ids, cur_by, opts, scratch, dev_vol=cur_vol,
-                _draft=True))
+                cur_db, cur_ids, cur_by, draft_opts, scratch,
+                dev_vol=cur_vol, _draft=True))
         else:
-            drafts = dict(correct_batch(cur_db, cur_ids, cur_by, opts,
+            drafts = dict(correct_batch(cur_db, cur_ids, cur_by, draft_opts,
                                         scratch, _draft=True))
         stats.supports_aligned += scratch.supports_aligned
         if not drafts:
@@ -1215,7 +1321,7 @@ def run_cns(input_path: str, reads_path: str, out_path: str,
     stats = CnsStats()
     met = Metrics("cns")
     correct = _pick_correct_batch()
-    kwargs = ({"dev_vol": device_volume(db)}
+    kwargs = ({"dev_vol": device_volume_for_rounds(db, opts)}
               if correct is correct_batch_device else {})
 
     def emit_batches(fh, by_template):

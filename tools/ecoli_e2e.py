@@ -42,6 +42,8 @@ def main(argv=None):
                     help="cap scored reads for a faster accuracy pass")
     ap.add_argument("--rounds", type=int, default=1,
                     help="cns correction rounds (2 = realign vs draft)")
+    ap.add_argument("--draft-est-coverage", type=int, default=None,
+                    help="est-coverage cap for non-final rounds")
     args = ap.parse_args(argv)
 
     d = args.dir
@@ -79,10 +81,12 @@ def main(argv=None):
                              if args.rounds <= 1 else
                              f"corrected.r{args.rounds}.fasta")
     if not os.path.exists(corrected):
+        extra = ([] if args.draft_est_coverage is None else
+                 ["--draft-est-coverage", str(args.draft_est_coverage)])
         summary["cns_seconds"] = round(sh(
             py + ["mecat_tpu.cli.mecat2cns", "-i", "0", "-x", str(args.tech),
-                  "--rounds", str(args.rounds),
-                  cand, reads, corrected]), 1)
+                  "--rounds", str(args.rounds)] + extra
+            + [cand, reads, corrected]), 1)
     summary["rounds"] = args.rounds
 
     from mecat_tpu.utils.accuracy import corrected_accuracy

@@ -84,14 +84,16 @@ def build_pile(rng, truth, cov, err, profile, min_frac=0.35):
 def run_pile(reads, seeds, opts):
     from mecat_tpu.io.packed_db import PackedDB
     from mecat_tpu.io.fasta import FastaRecord
-    from mecat_tpu.pipeline.cns import CnsStats, correct_batch
+    from mecat_tpu.pipeline.cns import (CnsStats, correct_batch,
+                                        correct_batch_rounds)
 
     db = PackedDB.from_records(
         [FastaRecord(f"r{i}", r) for i, r in enumerate(reads)])
     tlen = len(reads[0])
     by_t = {0: [(i + 1, 0, sp, min(tp, tlen - 1), 100)
                 for i, (sp, tp) in enumerate(seeds)]}
-    out = correct_batch(db, [0], by_t, opts, CnsStats())
+    out = correct_batch_rounds(db, [0], by_t, opts, CnsStats(),
+                               correct=correct_batch)
     return [seg for _, seg in out]
 
 
@@ -106,6 +108,8 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--segment", type=int, default=128)
     ap.add_argument("--band", type=int, default=64)
+    ap.add_argument("--rounds", type=int, default=1)
+    ap.add_argument("--draft-est-coverage", type=int, default=None)
     # vote-rule overrides (default: the -x tech preset values) — sweep knobs
     ap.add_argument("--del-bias", type=float, default=None)
     ap.add_argument("--ins-bias", type=float, default=None)
@@ -131,7 +135,8 @@ def main(argv=None):
     opts = CnsOptions(min_align_size=500, min_length=500, min_coverage=4,
                       min_mapping_ratio=0.3, align_segment=args.segment,
                       align_band=args.band, extend_batch=32,
-                      min_identity=65.0,
+                      min_identity=65.0, rounds=args.rounds,
+                      draft_est_coverage=args.draft_est_coverage,
                       # per-tech vote rules (scale gates stay harness-sized)
                       del_bias=(args.del_bias if args.del_bias is not None
                                 else preset.get("del_bias")),
