@@ -162,7 +162,7 @@ def run_cns(db, supports):
     from mecat_tpu.pipeline.cns import (CnsOptions, CnsStats,
                                         correct_batch_device, device_volume)
 
-    max_templates = int(os.environ.get("BENCH_CNS_TEMPLATES", 64))
+    max_templates = int(os.environ.get("BENCH_CNS_TEMPLATES", 128))
     by_template = {}
     for qids, o in supports:
         b, n = np.nonzero(o["valid"])
@@ -177,7 +177,11 @@ def run_cns(db, supports):
         key=lambda t: -len(by_template[t]))[:max_templates]
     if not templates:
         return None
-    opts = CnsOptions.for_tech(Cst.TECH_PACBIO)
+    # pacbio preset EXCEPT min corrected length: the preset's 5000 filters
+    # out nearly every mean-5kb bench read (round 3 corrected exactly 1
+    # read — a useless regression signal).  2000 keeps the alignment work
+    # identical while making "corrected reads" a real, ≥50-read surface.
+    opts = CnsOptions.for_tech(Cst.TECH_PACBIO, min_length=2000)
     dev_vol = device_volume(db)
 
     def one_pass():
@@ -196,6 +200,8 @@ def run_cns(db, supports):
         cns_templates=stats.templates,
         cns_supports=stats.supports_aligned,
         cns_corrected_reads=stats.corrected_reads,
+        cns_corrected_reads_per_s=round(stats.corrected_reads / dt, 2)
+        if dt > 0 else None,
         cns_steady_s=round(dt, 2), cns_first_pass_s=round(cold_dt, 2))
 
 
@@ -212,8 +218,17 @@ def main():
     overlaps, dt, compile_s, supports = run_on(
         jax.devices()[0], db, idx, n_batches, collect_supports=want_cns)
     rate = overlaps / dt if dt > 0 else 0.0
+    # Issued DP-cell rate (speed-of-light accounting, VERDICT r3 weak #4):
+    # the fused step statically issues B*N candidate extensions x 2
+    # directions x max_segs segments of SxW cells per batch; the Pallas
+    # kernel's dead-block skip means ACTUAL cells are lower, so this is the
+    # shape-budget rate to compare against tools/roofline.py's VPU bound.
+    cells_issued = (n_batches * B * CFG["num_candidates"] * 2
+                    * CFG["max_segs"] * CFG["S"] * CFG["W"])
+    cells_per_s = cells_issued / dt if dt > 0 else 0.0
     log(f"bench: chip: {overlaps} overlaps in {dt:.2f}s -> {rate:.1f}/s "
-        f"(compile {compile_s:.1f}s, total {time.time() - t0:.1f}s)")
+        f"({cells_per_s / 1e9:.1f} Gcells/s issued, compile {compile_s:.1f}s,"
+        f" total {time.time() - t0:.1f}s)")
 
     # CPU-socket provisional baseline.  Re-measured with BENCH_CPU=1
     # (~5 min); otherwise uses the recorded measurement of the same step on
@@ -245,6 +260,7 @@ def main():
         "index_build_s": round(index_build_s, 1),
         "compile_s": round(compile_s, 1),
         "steady_s": round(dt, 2),
+        "dp_gcells_per_s_issued": round(cells_per_s / 1e9, 2),
         "cache": "warm" if compile_s < 15.0 else "cold",
     }
     if want_cns and supports:

@@ -407,6 +407,8 @@ def collect_query_batch_fused(pending, vol_base: int, vol_db: PackedDB,
     # phase 2 dispatch per strand (survive pull is the only sync: ~B*N bits)
     phase2 = {}
     for strand, (cand, survive, bases_dev, lens_dev) in outs.items():
+        # probe phase issued 1 segment x 2 directions for every candidate
+        stats.cells += 2 * S * W * int(np.prod(np.asarray(survive).shape))
         surv = np.asarray(survive).copy()
         surv[n:, :] = False
         sel_np = np.flatnonzero(surv.reshape(-1)).astype(np.int32)
@@ -435,6 +437,7 @@ def collect_query_batch_fused(pending, vol_base: int, vol_db: PackedDB,
         phase2[strand] = (cand, sel_np, res, win0)
         stats.candidates += len(sel_np)
         stats.extended += len(sel_np)
+        stats.cells += 2 * msegs * S * W * K
 
     for strand, (cand, sel_np, res, win0) in phase2.items():
         m = len(sel_np)
@@ -575,5 +578,8 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
     met.set("candidates", stats.candidates)
     met.set("overlaps", stats.overlaps)
     met.set("overlaps_per_s", stats.overlaps / max(stats.seconds, 1e-9))
+    # issued-DP-cell rate: the per-round speed-of-light surface (compare
+    # against tools/roofline.py's measured VPU ceiling)
+    met.set("dp_gcells_per_s", stats.cells / max(stats.seconds, 1e-9) / 1e9)
     met.emit_summary()
     return stats
