@@ -39,6 +39,10 @@ def main(argv=None):
                     help="override read count (default: cov*genome/mean)")
     ap.add_argument("--ncand", type=int, default=50)
     ap.add_argument("--max-score", type=int, default=None)
+    ap.add_argument("--rounds", type=int, default=1,
+                    help="cns correction rounds (2 = realign vs draft)")
+    ap.add_argument("--draft-est-coverage", type=int, default=None,
+                    help="est-coverage cap for non-final cns rounds")
     args = ap.parse_args(argv)
 
     d = args.dir
@@ -63,11 +67,22 @@ def main(argv=None):
                "genome": args.genome}
     print(f"dataset: {summary}", flush=True)
 
-    out_dir = os.path.join(d, "pipe")
+    out_dir = os.path.join(d, "pipe" if args.rounds <= 1
+                           else f"pipe_r{args.rounds}")
+    # rounds variants share the pw leg: link candidates from the base run
+    base_cand = os.path.join(d, "pipe", "candidates.txt")
+    os.makedirs(out_dir, exist_ok=True)
+    this_cand = os.path.join(out_dir, "candidates.txt")
+    if (args.rounds > 1 and os.path.exists(base_cand)
+            and not os.path.exists(this_cand)):
+        os.link(base_cand, this_cand)
+    extra = ([] if args.draft_est_coverage is None else
+             ["--draft-est-coverage", str(args.draft_est_coverage)])
     t0 = time.time()
     sh([sys.executable, "-m", "mecat_tpu.cli.pipeline",
         "-d", reads, "-o", out_dir, "-x", "1",
-        "-g", str(args.genome), "-n", str(args.ncand)])
+        "-g", str(args.genome), "-n", str(args.ncand),
+        "--rounds", str(args.rounds)] + extra)
     summary["pipeline_seconds"] = round(time.time() - t0, 1)
     for name in ("candidates.txt", "corrected.fasta", "extracted.fasta",
                  "asm_overlaps.m4", "trimmed.fasta"):
@@ -89,7 +104,9 @@ def main(argv=None):
         accuracy_seconds=round(time.time() - t0, 1),
         total_seconds=round(time.time() - t_all, 1),
     )
-    with open(os.path.join(d, "summary.json"), "w") as fh:
+    summary["rounds"] = args.rounds
+    with open(os.path.join(d, "summary.json" if args.rounds <= 1
+                           else f"summary_r{args.rounds}.json"), "w") as fh:
         json.dump(summary, fh, indent=1)
     print(json.dumps(summary), flush=True)
     return 0
