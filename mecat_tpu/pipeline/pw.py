@@ -68,6 +68,13 @@ class PwStats:
     overlaps: int = 0
     seconds: float = 0.0
     cells: int = 0      # DP cells computed (for speed-of-light accounting)
+    # per-phase accumulators for the staged (-j 0) path: where each batch's
+    # wall time goes (host prep vs device scan dispatch vs result pull +
+    # merge vs text emit) — the e2e-vs-kernel gap surface (VERDICT r3 #4)
+    prep_s: float = 0.0
+    scan_s: float = 0.0
+    pull_s: float = 0.0
+    emit_s: float = 0.0
 
 
 def _merge_strand_candidates(cands_by_strand, lens, n_keep: int,
@@ -111,6 +118,7 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
     Returns (m4_records, candidate_records) — one of them empty per task.
     """
     B = opts.scan_batch
+    t_ph = time.time()
     fwd, rev, lens = oriented_batch(db, query_ids, L_query)
     fwd_p, rev_p, lens_p = pad_to_batch([fwd, rev, lens], B)
     # exclude self-hits when the query read lives in the indexed volume
@@ -118,7 +126,9 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
         [qid - vol_base if vol_base <= qid < vol_base + vol_db.n_reads else -1
          for qid in query_ids], dtype=np.int32)
     self_p, = pad_to_batch([self_ids], B)
+    stats.prep_s += time.time() - t_ph
 
+    t_ph = time.time()
     cands_by_strand = []
     for strand, bases in ((0, fwd_p), (1, rev_p)):
         cand = scan_candidates(
@@ -128,11 +138,14 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
             k=opts.kmer_size, stride=opts.scan_stride, max_occ=opts.max_occ,
             num_candidates=opts.num_candidates, diag_bin=opts.diag_bin)
         cands_by_strand.append((strand, cand))
+    stats.scan_s += time.time() - t_ph   # async dispatch + upload only
 
+    t_ph = time.time()
     pairs = _merge_strand_candidates(cands_by_strand, lens_p,
                                      opts.num_candidates,
                                      opts.min_block_score)
     pairs = pairs[pairs[:, 0] < len(query_ids)] if len(pairs) else pairs
+    stats.pull_s += time.time() - t_ph   # device sync + pull + host merge
     stats.candidates += len(pairs)
 
     m4_out: List[M4Record] = []
@@ -143,6 +156,7 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
         # columnar emit straight from the pairs array — the per-record
         # CandidateRecord loop was host-bound at scale (434k records on
         # this sandbox's slow host CPU)
+        t_ph = time.time()
         rows = pairs[:, 0].astype(np.int64)
         qarr = np.asarray(query_ids, dtype=np.int64)
         tgt = pairs[:, 2].astype(np.int64)
@@ -152,6 +166,7 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
             "qext": pairs[:, 4], "qsize": lens[rows],
             "sdir": np.zeros(len(pairs), np.int64), "sext": pairs[:, 5],
             "ssize": vol_db.lengths[tgt]})
+        stats.emit_s += time.time() - t_ph
         return m4_out, cand_text
 
     # -- extension batches ----------------------------------------------------
@@ -581,5 +596,9 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
     # issued-DP-cell rate: the per-round speed-of-light surface (compare
     # against tools/roofline.py's measured VPU ceiling)
     met.set("dp_gcells_per_s", stats.cells / max(stats.seconds, 1e-9) / 1e9)
+    for ph in ("prep_s", "scan_s", "pull_s", "emit_s"):
+        v = getattr(stats, ph)
+        if v:
+            met.set(f"staged_{ph}", round(v, 3))
     met.emit_summary()
     return stats
