@@ -67,27 +67,40 @@ def main(argv=None):
     fn = (extend_pair_batch_with_ops if args.with_moves
           else extend_pair_batch)
 
-    def run(segs):
-        out = fn(jnp.asarray(q), jnp.asarray(t), jnp.asarray(lens),
-                 jnp.asarray(lens), jnp.asarray(seeds), jnp.asarray(seeds),
-                 max_segs=segs, **kw)
-        pa = out[0] if args.with_moves else out
+    qd, td = jnp.asarray(q), jnp.asarray(t)
+    ld, sd = jnp.asarray(lens), jnp.asarray(seeds)
+
+    def dispatch(segs):
+        out = fn(qd, td, ld, ld, sd, sd, max_segs=segs, **kw)
+        return out[0] if args.with_moves else out
+
+    def sync(pa):
         # force a sync the tunnel-safe way (CLAUDE.md: block_until_ready
         # does not reliably sync on this system)
         np.asarray(pa.q_adv[0] if hasattr(pa, "q_adv") else pa.qbeg[0])
+
+    def run(segs):
+        pa = dispatch(segs)
+        sync(pa)
         return pa
 
-    # warm both shapes, then time the delta of one extra segment sweep
+    # warm both shapes, then time the delta of one extra segment sweep.
+    # All reps are dispatched async and synced ONCE: a per-rep sync pays an
+    # erratic tunnel round-trip (50-500 ms) that swamps the compute delta
+    # (the 2026-08-20 campaign run measured t_full < t_half that way).
     run(G)
     run(G // 2)
-    t0 = time.time()
-    for _ in range(args.reps):
-        run(G)
-    t_full = (time.time() - t0) / args.reps
-    t0 = time.time()
-    for _ in range(args.reps):
-        run(G // 2)
-    t_half = (time.time() - t0) / args.reps
+
+    def timed(segs):
+        t0 = time.time()
+        last = None
+        for _ in range(args.reps):
+            last = dispatch(segs)
+        sync(last)
+        return (time.time() - t0) / args.reps
+
+    t_full = timed(G)
+    t_half = timed(G // 2)
 
     # counts path runs both directions as one 2B-lane batch; the left
     # direction dies immediately (seed at 0) => active lanes = B.  The
