@@ -62,6 +62,76 @@ def gather_rows(flat: np.ndarray, starts: np.ndarray, lengths: np.ndarray,
     return out
 
 
+def device_query_volume(db: PackedDB, read_range=None):
+    """Device-resident oriented volume for QUERY-row gathers.
+
+    The staged/fused pw dispatch used to upload every batch's raw uint8
+    fwd+rev rows over the host→device tunnel (~2 * B * L bytes per batch —
+    measured 337 s of a 707 s cold full-scale -j 0 run, 2026-08-20).  With
+    the query volume resident as [fwd | revcomp | slack] (the cns
+    device-volume layout), a batch gather is B int32 ids up the wire and a
+    vmapped contiguous dynamic_slice on device.  Reuses
+    :func:`pipeline.cns.device_volume` (upload 2-bit packed, rc computed
+    on device).
+    """
+    from .cns import device_volume
+
+    sub = db if read_range is None else db.subset(range(*read_range))
+    return device_volume(sub)
+
+
+def gather_oriented_rows_dev(qvol, ids: np.ndarray, n_valid: int, L: int):
+    """[B, L] fwd + rev rows gathered ON DEVICE from an oriented volume.
+
+    Bit-identical to ``pad_to_batch(oriented_batch(...))`` on the same
+    reads (tests/test_pw_e2e.py differential): padding value 0, rows past
+    ``n_valid`` zeroed, rc(read)[x] = vol_cat[2n - start - len + x].
+    Returns (fwd_dev [B, L], rev_dev [B, L], lens_dev [B]).
+    """
+    import jax.numpy as jnp
+
+    valid = np.zeros(len(ids), bool)
+    valid[:n_valid] = True
+    return _gather_oriented_jit(qvol.vol_cat, qvol.starts, qvol.lengths,
+                                jnp.asarray(np.asarray(ids, np.int32)),
+                                jnp.asarray(valid),
+                                np.int32(qvol.n_bases), L=L)
+
+
+def _gather_oriented_impl(vol_cat, starts, lengths, ids, valid, n_bases,
+                          L: int):
+    import jax
+    import jax.numpy as jnp
+
+    lens = jnp.where(valid, lengths[ids], 0).astype(jnp.int32)
+    st_f = starts[ids].astype(jnp.int32)
+    st_r = 2 * n_bases - st_f - lengths[ids].astype(jnp.int32)
+    st_r = jnp.maximum(st_r, 0)          # pad rows: keep slices in bounds
+
+    def row(o):
+        return jax.lax.dynamic_slice(vol_cat, (o,), (L,))
+
+    fwd = jax.vmap(row)(st_f)
+    rev = jax.vmap(row)(st_r)
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+    m = col < jnp.minimum(lens, L)[:, None]
+    zero = jnp.zeros((), dtype=vol_cat.dtype)
+    return jnp.where(m, fwd, zero), jnp.where(m, rev, zero), lens
+
+
+_GATHER_JIT = None
+
+
+def _gather_oriented_jit(*args, L: int):
+    global _GATHER_JIT
+    if _GATHER_JIT is None:
+        import jax
+
+        _GATHER_JIT = jax.jit(_gather_oriented_impl,
+                              static_argnames=("L",))
+    return _GATHER_JIT(*args, L=L)
+
+
 def pad_to_batch(arrays: List[np.ndarray], batch: int) -> List[np.ndarray]:
     """Pad the leading dim of every array to `batch` (repeat-last padding)."""
     out = []

@@ -30,8 +30,9 @@ from ..io.packed_db import PackedDB, upload_codes
 from ..ops.align import extend_pair_batch
 from ..ops.ddf import scan_candidates
 from ..utils.log import get_logger
-from .common import (bucket_length, gather_rows, max_segs_for, oriented_batch,
-                     pad_to_batch)
+from .common import (bucket_length, device_query_volume,
+                     gather_oriented_rows_dev, gather_rows, max_segs_for,
+                     oriented_batch, pad_to_batch)
 
 log = get_logger("pw")
 
@@ -112,15 +113,30 @@ def _merge_strand_candidates(cands_by_strand, lens, n_keep: int,
 def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
                         query_ids: List[int], opts: PwOptions,
                         vol_db: PackedDB, stats: PwStats,
-                        L_query: int, L_target: int):
+                        L_query: int, L_target: int,
+                        qvol=None, qvol_base: int = 0):
     """Scan + (optionally) extend one batch of query reads against a volume.
 
     Returns (m4_records, candidate_records) — one of them empty per task.
+    With ``qvol`` (a device-resident oriented query volume) the fwd/rev
+    query rows are gathered ON DEVICE — B int32 ids up the tunnel instead
+    of 2*B*L raw bytes (the dominant cost of the staged -j 0 path at full
+    scale; see common.device_query_volume).  Device path is scan-only:
+    the task-1 extension branch still needs host rows.
     """
     B = opts.scan_batch
     t_ph = time.time()
-    fwd, rev, lens = oriented_batch(db, query_ids, L_query)
-    fwd_p, rev_p, lens_p = pad_to_batch([fwd, rev, lens], B)
+    use_dev_gather = qvol is not None and opts.task == 0
+    if use_dev_gather:
+        ids_local = np.asarray(query_ids, np.int32) - qvol_base
+        ids_p, = pad_to_batch([ids_local], B)
+        fwd_p, rev_p, _lens_dev = gather_oriented_rows_dev(
+            qvol, ids_p, len(query_ids), L_query)
+        lens = db.lengths[list(query_ids)]
+        lens_p, = pad_to_batch([lens], B)
+    else:
+        fwd, rev, lens = oriented_batch(db, query_ids, L_query)
+        fwd_p, rev_p, lens_p = pad_to_batch([fwd, rev, lens], B)
     # exclude self-hits when the query read lives in the indexed volume
     self_ids = np.array(
         [qid - vol_base if vol_base <= qid < vol_base + vol_db.n_reads else -1
@@ -276,7 +292,8 @@ def plan_fused_batches(db: PackedDB, qa: int, qb: int, vol_max: int,
 def dispatch_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
                                query_ids: List[int], opts: PwOptions,
                                vol_db: PackedDB, L_query: int, L_target: int,
-                               batch_rows: int = 0):
+                               batch_rows: int = 0, qvol=None,
+                               qvol_base: int = 0):
     """Dispatch the probe phase of the fused step for both strands (async).
 
     Two-phase extension: probe_step runs the DDF scan plus a 1-segment
@@ -285,16 +302,28 @@ def dispatch_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
     only the compacted survivors to full length.  With the reference's
     -n 100 most candidates are junk, so this cuts the dominant extension
     cost ~4-5x on coverage-realistic data.
+
+    With ``qvol`` the query rows are gathered on device (no raw-byte batch
+    upload — see common.device_query_volume).
     """
     import jax.numpy as jnp
 
     from .device_step import probe_step
 
     B = batch_rows or opts.scan_batch
-    fwd, rev, lens = oriented_batch(db, query_ids, L_query)
-    fwd_p, rev_p, lens_p = pad_to_batch([fwd, rev, lens], B)
-    lens_p = lens_p.copy()
-    lens_p[len(query_ids):] = 0
+    if qvol is not None:
+        ids_local = np.asarray(query_ids, np.int32) - qvol_base
+        ids_p, = pad_to_batch([ids_local], B)
+        fwd_p, rev_p, _ = gather_oriented_rows_dev(
+            qvol, ids_p, len(query_ids), L_query)
+        lens = db.lengths[list(query_ids)]
+        lens_p = np.zeros(B, dtype=np.asarray(lens).dtype)
+        lens_p[:len(query_ids)] = lens
+    else:
+        fwd, rev, lens = oriented_batch(db, query_ids, L_query)
+        fwd_p, rev_p, lens_p = pad_to_batch([fwd, rev, lens], B)
+        lens_p = lens_p.copy()
+        lens_p[len(query_ids):] = 0
     self_ids = np.array(
         [qid - vol_base if vol_base <= qid < vol_base + vol_db.n_reads else -1
          for qid in query_ids], dtype=np.int32)
@@ -491,6 +520,18 @@ def process_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
     return [M4Record.parse(ln) for ln in text.splitlines()]
 
 
+def _use_dev_gather(opts: PwOptions) -> bool:
+    """Device-resident query gather: default on the real chip (the batch
+    byte upload is the tunnel-bound cost it removes), forceable either way
+    (tests run the differential on the CPU backend)."""
+    import jax
+
+    env = os.environ.get("MECAT_TPU_PW_DEV_GATHER")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
 def _use_fused(opts: PwOptions) -> bool:
     import jax
 
@@ -545,6 +586,10 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                 qa, qb = vols[vj]
                 shard = os.path.join(wrk_dir, f"pw_v{vi}_v{vj}.txt")
                 L_query = bucket_length(int(db.lengths[qa:qb].max()))
+                # device-resident oriented query volume: one packed upload
+                # per volume pair instead of raw fwd+rev bytes per batch
+                qvol = (device_query_volume(db, (qa, qb))
+                        if _use_dev_gather(opts) else None)
                 with met.stage("volume_pair", vi=vi, vj=vj), \
                         open(shard + ".tmp", "w") as fh:
                     if _use_fused(opts):
@@ -556,7 +601,8 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                                 db, qa, qb, vol_max, opts):
                             nxt = dispatch_query_batch_fused(
                                 db, va, dev, idx.max_occ_cutoff, qids, opts,
-                                vol_db, L_q_b, L_t_b, batch_rows=b_eff)
+                                vol_db, L_q_b, L_t_b, batch_rows=b_eff,
+                                qvol=qvol, qvol_base=qa)
                             if pending is not None:
                                 fh.write(collect_query_batch_fused(
                                     pending, va, vol_db, opts, stats))
@@ -576,7 +622,8 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                                 int(db.lengths[qids].max()))
                             m4s, cands = process_query_batch(
                                 db, va, dev, idx.max_occ_cutoff, qids, opts,
-                                vol_db, stats, L_q_b, L_target)
+                                vol_db, stats, L_q_b, L_target,
+                                qvol=qvol, qvol_base=qa)
                             fh.write(format_block(m4s))
                             fh.write(cands)
                 os.replace(shard + ".tmp", shard)

@@ -171,3 +171,30 @@ def test_print_ext_seed_columns(sim_setup):
     recs = list(read_m4(out1))
     assert all(r.qext is not None and 0 <= r.qext <= r.qsize for r in recs)
     assert all(0 <= r.sext <= r.ssize for r in recs)
+
+
+def test_device_gather_byte_identical(sim_setup, monkeypatch):
+    """Device-resident oriented query gather (common.device_query_volume)
+    must reproduce the host oriented_batch path BYTE-identically, for both
+    the staged -j 0 candidate output and the fused -j 1 M4 output (the
+    gather only changes where the identical arrays are materialised)."""
+    tmp, reads, db, truths = sim_setup
+
+    def both(task, force_fused):
+        outs = []
+        for dev_gather in ("0", "1"):
+            monkeypatch.setenv("MECAT_TPU_PW_DEV_GATHER", dev_gather)
+            if force_fused:
+                monkeypatch.setenv("MECAT_TPU_FORCE_FUSED", "1")
+            else:
+                monkeypatch.delenv("MECAT_TPU_FORCE_FUSED", raising=False)
+            out = str(tmp / f"dg{task}_{dev_gather}.txt")
+            run_pw(reads, out, str(tmp / f"wdg{task}_{dev_gather}"),
+                   PwOptions(task=task, **OPTS))
+            outs.append(open(out, "rb").read())
+        return outs
+
+    a, b = both(0, force_fused=False)          # staged candidates
+    assert a == b and len(a) > 0
+    a, b = both(1, force_fused=True)           # fused M4
+    assert a == b and len(a) > 0
