@@ -176,3 +176,64 @@ def scan_candidates(
         diag_bin=diag_bin, diag_shift=diag_shift)
     return score_hits(rid, dbin, hqpos, toff, hvalid,
                       num_candidates=num_candidates)
+
+
+@partial(jax.jit, static_argnames=("n_keep",))
+def merge_strand_candidates_device(c0: Candidates, c1: Candidates,
+                                   min_score: jnp.ndarray, *, n_keep: int):
+    """Device twin of pipeline.pw._merge_strand_candidates.
+
+    The host merge pulled 10 per-field [B, N] arrays per batch over the
+    host-device tunnel (4 int32 + 1 bool per strand) and lexsorted on the
+    slow host CPU; at full E. coli scale those pulls measured 266 s of a
+    707 s -j 0 run.  This merges ON DEVICE and compacts the kept rows to
+    the front of ONE [2*B*N, 6] buffer (columns row/strand/target/score/
+    qseed/tseed), so the host pulls a count plus a bucketed prefix.
+
+    Exact-order contract (differential-tested byte-identical via run_pw):
+    the host path concatenates strand 0 then strand 1 in row-major (r, c)
+    order and stable-lexsorts by (row asc, score desc), then keeps the
+    first n_keep per row.  Building the flat arrays in the same
+    concatenation order and stable-sorting by the same keys reproduces the
+    host tie-breaking exactly.
+    """
+    parts = []
+    for strand, c in ((0, c0), (1, c1)):
+        B, N = c.target.shape
+        row = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], (B, N)).reshape(-1)
+        ok = (c.valid & (c.score >= min_score)).reshape(-1)
+        parts.append((jnp.where(ok, row, B).astype(jnp.int32),
+                      jnp.full(B * N, strand, jnp.int32),
+                      c.target.reshape(-1).astype(jnp.int32),
+                      c.score.reshape(-1).astype(jnp.int32),
+                      c.qseed.reshape(-1).astype(jnp.int32),
+                      c.tseed.reshape(-1).astype(jnp.int32)))
+    row, strand, target, score, qseed, tseed = (
+        jnp.concatenate([p[i] for p in parts]) for i in range(6))
+    # stable sort by (row asc, score desc); invalid rows carry row=B so
+    # they land after every real row
+    row, negs, strand, target, score, qseed, tseed = jax.lax.sort(
+        (row, -score, strand, target, score, qseed, tseed),
+        num_keys=2, is_stable=True)
+    M = row.shape[0]
+    idx = jnp.arange(M, dtype=jnp.int32)
+    is_new = jnp.concatenate(
+        [jnp.ones(1, bool), row[1:] != row[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_new, idx, 0))
+    rank = idx - seg_start
+    keep = (rank < n_keep) & (row < jnp.int32(c0.target.shape[0]))
+    # compact kept rows to the front (stable: preserves merged order)
+    sink = jnp.where(keep, jnp.int32(0), jnp.int32(1))
+    _, row, strand, target, score, qseed, tseed = jax.lax.sort(
+        (sink, row, strand, target, score, qseed, tseed),
+        num_keys=1, is_stable=True)
+    merged = jnp.stack([row, strand, target, score, qseed, tseed], axis=1)
+    return merged, jnp.sum(keep.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("K",))
+def slice_merged(merged: jnp.ndarray, *, K: int) -> jnp.ndarray:
+    """First K rows of a merged-candidate buffer (bucketed static K so the
+    host pulls ~the kept prefix instead of the whole [2*B*N, 6] buffer)."""
+    return jax.lax.dynamic_slice(merged, (0, 0), (K, merged.shape[1]))

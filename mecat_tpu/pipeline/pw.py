@@ -28,7 +28,8 @@ from ..io.m4 import (CandidateRecord, M4Record, format_block,
                      format_candidate_columns)
 from ..io.packed_db import PackedDB, upload_codes
 from ..ops.align import extend_pair_batch
-from ..ops.ddf import scan_candidates
+from ..ops.ddf import (merge_strand_candidates_device, scan_candidates,
+                       slice_merged)
 from ..utils.log import get_logger
 from .common import (bucket_length, device_query_volume,
                      gather_oriented_rows_dev, gather_rows, max_segs_for,
@@ -157,9 +158,23 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
     stats.scan_s += time.time() - t_ph   # async dispatch + upload only
 
     t_ph = time.time()
-    pairs = _merge_strand_candidates(cands_by_strand, lens_p,
-                                     opts.num_candidates,
-                                     opts.min_block_score)
+    if use_dev_gather:
+        # merge + top-n on device; pull one compacted buffer (count, then
+        # a bucketed prefix) instead of 10 [B, N] per-field arrays
+        merged, count = merge_strand_candidates_device(
+            cands_by_strand[0][1], cands_by_strand[1][1],
+            jnp.int32(opts.min_block_score), n_keep=opts.num_candidates)
+        n_kept = int(count)
+        if n_kept:
+            K = _bucket_k(n_kept, minimum=1024)
+            K = min(K, merged.shape[0])
+            pairs = np.asarray(slice_merged(merged, K=K))[:n_kept]
+        else:
+            pairs = np.zeros((0, 6), int)
+    else:
+        pairs = _merge_strand_candidates(cands_by_strand, lens_p,
+                                         opts.num_candidates,
+                                         opts.min_block_score)
     pairs = pairs[pairs[:, 0] < len(query_ids)] if len(pairs) else pairs
     stats.pull_s += time.time() - t_ph   # device sync + pull + host merge
     stats.candidates += len(pairs)
