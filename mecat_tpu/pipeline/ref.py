@@ -34,7 +34,10 @@ from ..ops.align import extend_pair_batch_with_ops
 from ..ops.consensus_device import ops_stream
 from ..ops.ddf import scan_candidates
 from ..utils.log import get_logger
-from .common import bucket_length, max_segs_for, oriented_batch, pad_to_batch
+from .common import (bucket_length, device_query_volume,
+                     gather_oriented_rows_dev, max_segs_for, oriented_batch,
+                     pad_to_batch)
+from .pw import _use_dev_gather as _pw_use_dev_gather
 
 log = get_logger("ref")
 
@@ -137,11 +140,22 @@ def _ref_extend_chunk(fwd, rev, ref_codes, rowi, strand, g0, wlen, qlen,
 
 
 def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
-              opts: RefOptions, out_lines: List[str], stats: RefStats):
+              opts: RefOptions, out_lines: List[str], stats: RefStats,
+              qvol=None):
     B = opts.scan_batch
     L_q = bucket_length(max(int(db.lengths[r]) for r in read_ids))
-    fwd, rev, lens = oriented_batch(db, read_ids, L_q)
-    fwd_p, rev_p, lens_p = pad_to_batch([fwd, rev, lens], B)
+    if qvol is not None:
+        # reads resident on device: gather fwd/rev rows there (B int32 ids
+        # up the tunnel instead of 2*B*L_q raw bytes per batch — the same
+        # fix as pipeline.pw; see common.device_query_volume)
+        ids_p, = pad_to_batch([np.asarray(read_ids, np.int32)], B)
+        fwd_p, rev_p, _ = gather_oriented_rows_dev(
+            qvol, ids_p, len(read_ids), L_q)
+        lens = db.lengths[list(read_ids)]
+        lens_p, = pad_to_batch([lens], B)
+    else:
+        fwd, rev, lens = oriented_batch(db, read_ids, L_q)
+        fwd_p, rev_p, lens_p = pad_to_batch([fwd, rev, lens], B)
     no_self = np.full(B, -1, dtype=np.int32)
 
     cands = {}
@@ -360,6 +374,9 @@ def run_ref(reads_path: str, ref_path: str, out_path: str, wrk_dir: str,
                       k=opts.kmer_size)
     dev = idx.as_device_arrays()
     dev["ref_codes"] = upload_codes(ref_db.codes)
+    qvol = None
+    if _pw_use_dev_gather() and int(db.total_bases) <= (1 << 30):
+        qvol = device_query_volume(db)
     log.info("ref: %d reads vs %d contigs (%d bases)", db.n_reads,
              ref_db.n_reads, ref_db.total_bases)
     with open(out_path, "w") as fh:
@@ -370,7 +387,8 @@ def run_ref(reads_path: str, ref_path: str, out_path: str, wrk_dir: str,
         for bs in range(0, db.n_reads, opts.scan_batch):
             ids = list(range(bs, min(db.n_reads, bs + opts.scan_batch)))
             lines: List[str] = []
-            map_batch(db, ids, ref_db, idx, dev, opts, lines, stats)
+            map_batch(db, ids, ref_db, idx, dev, opts, lines, stats,
+                      qvol=qvol)
             for ln in lines:
                 fh.write(ln + "\n")
             log.info("ref: %d/%d reads, %d mapped", stats.reads, db.n_reads,

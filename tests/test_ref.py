@@ -251,3 +251,28 @@ def test_ref_sam_m4_coordinates_agree(ref_setup):
         assert abs((pos + rc) - r.send) <= 0
         n += 1
     assert n == len(sam_primary)
+
+
+def test_ref_device_gather_byte_identical(tmp_path, monkeypatch):
+    """The device-resident query gather (common.device_query_volume) must
+    leave mecat2ref output byte-identical to the host oriented_batch path."""
+    from mecat_tpu.pipeline.ref import RefOptions, run_ref
+    from mecat_tpu.io.fasta import write_fasta
+    from mecat_tpu.utils.sim import random_genome, simulate_reads
+    import numpy as np
+
+    genome = random_genome(20000, seed=71)
+    db, _ = simulate_reads(genome, 12, mean_len=2500, min_len=1200, seed=72,
+                           error_rate=0.1)
+    reads = str(tmp_path / "reads.fasta")
+    ref = str(tmp_path / "ref.fasta")
+    write_fasta(reads, [(db.name(i), db.read(i)) for i in range(db.n_reads)])
+    write_fasta(ref, [("g", genome)])
+    outs = []
+    for dev_gather in ("0", "1"):
+        monkeypatch.setenv("MECAT_TPU_PW_DEV_GATHER", dev_gather)
+        out = str(tmp_path / f"out{dev_gather}.sam")
+        run_ref(reads, ref, out, str(tmp_path / f"w{dev_gather}"),
+                RefOptions(output_format="sam", **OPTS))
+        outs.append(open(out, "rb").read())
+    assert outs[0] == outs[1] and len(outs[0]) > 200
