@@ -105,7 +105,8 @@ def build_index(codes: np.ndarray, starts: np.ndarray, lengths: np.ndarray,
                 k: int = C.KMER_SIZE,
                 freq_cutoff_multiple: float = C.KMER_FREQ_CUTOFF_MULTIPLE,
                 freq_cutoff_abs: int | None = None,
-                device: bool | None = None) -> KmerIndex:
+                device: bool | None = None,
+                codes_dev=None) -> KmerIndex:
     """Build the CSR k-mer table over a volume's flat code array.
 
     Every position of every read contributes its k-mer (index-side stride 1,
@@ -123,7 +124,8 @@ def build_index(codes: np.ndarray, starts: np.ndarray, lengths: np.ndarray,
                   and jax.default_backend() == "tpu")
     if device and len(codes):
         return _build_index_device(codes, starts, lengths, k,
-                                   freq_cutoff_multiple, freq_cutoff_abs)
+                                   freq_cutoff_multiple, freq_cutoff_abs,
+                                   codes_dev=codes_dev)
     n_slots = 1 << (2 * k)
     starts = starts.astype(np.int64)
     lengths = lengths.astype(np.int64)
@@ -189,7 +191,7 @@ def _build_index_device_jit(codes: jnp.ndarray, starts: jnp.ndarray,
 
 def _build_index_device(codes, starts, lengths, k,
                         freq_cutoff_multiple,
-                        freq_cutoff_abs=None) -> KmerIndex:
+                        freq_cutoff_abs=None, codes_dev=None) -> KmerIndex:
     """Device build; the big arrays STAY on device (jnp) — consumers probe
     them in place, and pulling 4^k offsets back to the host measured 30s+
     over this sandbox's device tunnel.  Only two scalars sync."""
@@ -203,8 +205,16 @@ def _build_index_device(codes, starts, lengths, k,
     n_pad = p if n > 3 * p // 4 else 3 * p // 4
     from ..io.packed_db import upload_codes
 
-    # 2-bit packed over the tunnel (tail zeros belong to no read => invalid)
-    codes_dev = upload_codes(np.asarray(codes, dtype=np.uint8), n_pad)
+    # 2-bit packed over the tunnel (tail zeros belong to no read => invalid).
+    # A caller holding the codes on device already (e.g. run_pw's oriented
+    # query volume) passes codes_dev: padding happens on device and the
+    # ~24 MB/95 Mb tunnel upload is skipped entirely.
+    if codes_dev is not None:
+        codes_dev = jnp.concatenate(
+            [codes_dev[:n].astype(jnp.uint8),
+             jnp.zeros(n_pad - n, dtype=jnp.uint8)])
+    else:
+        codes_dev = upload_codes(np.asarray(codes, dtype=np.uint8), n_pad)
     offsets, rid_s, loc_s, n_valid, n_distinct = _build_index_device_jit(
         codes_dev, jnp.asarray(starts32), jnp.asarray(lengths32), k)
     n_valid = int(n_valid)

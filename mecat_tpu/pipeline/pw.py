@@ -535,7 +535,7 @@ def process_query_batch_fused(db: PackedDB, vol_base: int, dev, cutoff: int,
     return [M4Record.parse(ln) for ln in text.splitlines()]
 
 
-def _use_dev_gather(opts: PwOptions) -> bool:
+def _use_dev_gather(opts: Optional[PwOptions] = None) -> bool:
     """Device-resident query gather: default on the real chip (the batch
     byte upload is the tunnel-bound cost it removes), forceable either way
     (tests run the differential on the CPU backend)."""
@@ -590,12 +590,24 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                 continue
             vol_db = db.subset(range(va, vb))
             with met.stage("index_build", volume=vi):
+                # one codes upload per volume: the oriented query volume is
+                # uploaded first and the index build + fused vol_codes view
+                # are derived from it ON DEVICE (packed upload measured
+                # 73-1185 s per 24 MB on the erratic tunnel — 3x uploads of
+                # the same bytes were the old cost)
+                qvol_vi = (device_query_volume(vol_db)
+                           if _use_dev_gather(opts) else None)
+                codes_dev_vi = (qvol_vi.vol_cat[:qvol_vi.n_bases]
+                                if qvol_vi is not None else None)
                 idx = build_index(vol_db.codes, vol_db.starts,
                                   vol_db.lengths, k=opts.kmer_size,
-                                  freq_cutoff_abs=opts.index_cutoff)
+                                  freq_cutoff_abs=opts.index_cutoff,
+                                  codes_dev=codes_dev_vi)
                 dev = idx.as_device_arrays()
                 if _use_fused(opts):
-                    dev["vol_codes"] = upload_codes(vol_db.codes)
+                    dev["vol_codes"] = (codes_dev_vi
+                                        if codes_dev_vi is not None else
+                                        upload_codes(vol_db.codes))
             L_target = bucket_length(int(vol_db.lengths.max()))
             for vj in pending:
                 qa, qb = vols[vj]
@@ -603,8 +615,11 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                 L_query = bucket_length(int(db.lengths[qa:qb].max()))
                 # device-resident oriented query volume: one packed upload
                 # per volume pair instead of raw fwd+rev bytes per batch
-                qvol = (device_query_volume(db, (qa, qb))
-                        if _use_dev_gather(opts) else None)
+                # (the diagonal pair reuses the index volume's)
+                qvol = None
+                if _use_dev_gather(opts):
+                    qvol = (qvol_vi if vj == vi
+                            else device_query_volume(db, (qa, qb)))
                 with met.stage("volume_pair", vi=vi, vj=vj), \
                         open(shard + ".tmp", "w") as fh:
                     if _use_fused(opts):

@@ -370,10 +370,13 @@ def run_ref(reads_path: str, ref_path: str, out_path: str, wrk_dir: str,
             f"{MAX_GENOME_BASES} (~2.1 Gb). Split the FASTA into "
             f"< 2^31-base groups of contigs and map against each.")
     stats = RefStats()
+    # genome codes go up the tunnel ONCE; the index build derives its padded
+    # view on device (same dedupe as run_pw)
+    ref_codes_dev = upload_codes(ref_db.codes)
     idx = build_index(ref_db.codes, ref_db.starts, ref_db.lengths,
-                      k=opts.kmer_size)
+                      k=opts.kmer_size, codes_dev=ref_codes_dev)
     dev = idx.as_device_arrays()
-    dev["ref_codes"] = upload_codes(ref_db.codes)
+    dev["ref_codes"] = ref_codes_dev
     qvol = None
     if _pw_use_dev_gather() and int(db.total_bases) <= (1 << 30):
         qvol = device_query_volume(db)

@@ -129,3 +129,22 @@ def test_device_build_matches_numpy(small_db):
         assert np.array_equal(a.pos_rid, b.pos_rid)
         assert np.array_equal(a.pos_loc, b.pos_loc)
         assert a.max_occ_cutoff == b.max_occ_cutoff
+
+
+def test_build_index_codes_dev_identical():
+    """build_index(codes_dev=...) (the run_pw single-upload path) must
+    produce arrays identical to the self-uploading device build."""
+    import jax.numpy as jnp
+    from mecat_tpu.index.kmer_index import build_index
+    from mecat_tpu.utils.sim import random_genome, simulate_reads
+
+    db, _ = simulate_reads(random_genome(5000, seed=41), 16, mean_len=600,
+                           min_len=200, seed=42)
+    a = build_index(db.codes, db.starts, db.lengths, k=8, device=True)
+    b = build_index(db.codes, db.starts, db.lengths, k=8, device=True,
+                    codes_dev=jnp.asarray(db.codes))
+    import numpy as np
+    for f in ("offsets", "positions", "pos_rid", "pos_loc"):
+        assert np.array_equal(np.asarray(getattr(a, f)),
+                              np.asarray(getattr(b, f))), f
+    assert a.max_occ_cutoff == b.max_occ_cutoff
