@@ -198,3 +198,19 @@ def test_device_gather_byte_identical(sim_setup, monkeypatch):
     assert a == b and len(a) > 0
     a, b = both(1, force_fused=True)           # fused M4
     assert a == b and len(a) > 0
+
+
+def test_device_gather_multivolume_byte_identical(sim_setup, monkeypatch):
+    """Device gather across VOLUME PAIRS (vj != vi builds its own oriented
+    query volume; vj == vi reuses the index volume's) must stay
+    byte-identical to the host path."""
+    tmp, reads, db, truths = sim_setup
+    outs = []
+    for dev_gather in ("0", "1"):
+        monkeypatch.setenv("MECAT_TPU_PW_DEV_GATHER", dev_gather)
+        monkeypatch.setenv("MECAT_TPU_FORCE_FUSED", "1")
+        out = str(tmp / f"mv{dev_gather}.m4")
+        run_pw(reads, out, str(tmp / f"wmv{dev_gather}"),
+               PwOptions(task=1, volume_bases=20000, **OPTS))
+        outs.append(open(out, "rb").read())
+    assert outs[0] == outs[1] and len(outs[0]) > 0
