@@ -180,7 +180,9 @@ def scan_candidates(
 
 @partial(jax.jit, static_argnames=("n_keep",))
 def merge_strand_candidates_device(c0: Candidates, c1: Candidates,
-                                   min_score: jnp.ndarray, *, n_keep: int):
+                                   min_score: jnp.ndarray,
+                                   n_valid: jnp.ndarray | None = None, *,
+                                   n_keep: int):
     """Device twin of pipeline.pw._merge_strand_candidates.
 
     The host merge pulled 10 per-field [B, N] arrays per batch over the
@@ -196,6 +198,11 @@ def merge_strand_candidates_device(c0: Candidates, c1: Candidates,
     first n_keep per row.  Building the flat arrays in the same
     concatenation order and stable-sorting by the same keys reproduces the
     host tie-breaking exactly.
+
+    ``n_valid`` (ADVICE r4): number of real query rows in the batch —
+    repeat-last padded rows keep nonzero lengths and their poly-A k-mer
+    hits would otherwise inflate the pulled prefix before the host-side
+    row filter drops them.  None keeps the old all-rows behaviour.
     """
     parts = []
     for strand, c in ((0, c0), (1, c1)):
@@ -222,7 +229,10 @@ def merge_strand_candidates_device(c0: Candidates, c1: Candidates,
         [jnp.ones(1, bool), row[1:] != row[:-1]])
     seg_start = jax.lax.cummax(jnp.where(is_new, idx, 0))
     rank = idx - seg_start
-    keep = (rank < n_keep) & (row < jnp.int32(c0.target.shape[0]))
+    row_cap = (jnp.int32(c0.target.shape[0]) if n_valid is None
+               else jnp.minimum(jnp.int32(c0.target.shape[0]),
+                                n_valid.astype(jnp.int32)))
+    keep = (rank < n_keep) & (row < row_cap)
     # compact kept rows to the front (stable: preserves merged order)
     sink = jnp.where(keep, jnp.int32(0), jnp.int32(1))
     _, row, strand, target, score, qseed, tseed = jax.lax.sort(

@@ -77,6 +77,17 @@ def device_query_volume(db: PackedDB, read_range=None):
     from .cns import device_volume
 
     sub = db if read_range is None else db.subset(range(*read_range))
+    # int32 addressing guard (ADVICE r4): _gather_oriented_impl computes
+    # rc starts as 2*n_bases - start - len in int32; past ~1 Gb of volume
+    # bases the oriented layout silently overflows.  Mirror run_ref's
+    # guard (ref.py) and fall back to the host gather path instead.
+    if 2 * int(sub.total_bases) + 4 * int(sub.lengths.max(initial=0)) \
+            >= (1 << 30):
+        from ..utils.log import get_logger
+        get_logger("pw").warning(
+            "volume too large for int32 oriented device gather "
+            "(%d bases); falling back to host query rows", sub.total_bases)
+        return None
     return device_volume(sub)
 
 

@@ -163,7 +163,8 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
         # a bucketed prefix) instead of 10 [B, N] per-field arrays
         merged, count = merge_strand_candidates_device(
             cands_by_strand[0][1], cands_by_strand[1][1],
-            jnp.int32(opts.min_block_score), n_keep=opts.num_candidates)
+            jnp.int32(opts.min_block_score), jnp.int32(len(query_ids)),
+            n_keep=opts.num_candidates)
         n_kept = int(count)
         if n_kept:
             K = _bucket_k(n_kept, minimum=1024)
@@ -260,6 +261,12 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
                 sext=int(chunk[i, 5]) if opts.print_ext else None))
     stats.overlaps += len(m4_out)
     return m4_out, ""
+
+
+#: per-volume device-qvol LRU size when the whole db exceeds the int32
+#: oriented layout (~0.55 GB HBM per 256 Mb volume; cap keeps V volumes
+#: from exhausting HBM while still amortising uploads across vi rounds)
+_QVOL_CACHE_CAP = int(os.environ.get("MECAT_TPU_QVOL_CACHE", "6"))
 
 
 def _bucket_k(n: int, minimum: int = 256) -> int:
@@ -578,6 +585,30 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
     log.info("pw: %d reads, %d bases, %d volume(s)", db.n_reads,
              db.total_bases, len(vols))
 
+    # Device-resident query volumes (common.device_query_volume).  Only the
+    # paths that consume them pay the upload: the staged task=0 scan and the
+    # fused task=1 step (ADVICE r4: staged task=1 runs gathered on host but
+    # still paid a 73-1185 s packed upload per pair).  With multiple volumes
+    # the WHOLE db is uploaded ONCE and every volume pair derives its index
+    # codes + oriented query gathers from it — the per-pair upload was
+    # O(V^2) packed transfers of the same bytes (VERDICT r4 item 6).  Falls
+    # back to a per-volume LRU cache when 2*total_bases overflows the int32
+    # oriented layout, and to host rows when even one volume is too big.
+    use_dg = _use_dev_gather(opts) and (opts.task == 0 or _use_fused(opts))
+    db_qvol = device_query_volume(db) if use_dg else None
+    qvol_cache: dict = {}   # vj -> subset qvol (only when db_qvol is None)
+
+    def _vj_qvol(vj):
+        if not use_dg:
+            return None, 0
+        if db_qvol is not None:
+            return db_qvol, 0
+        if vj not in qvol_cache:
+            while len(qvol_cache) >= _QVOL_CACHE_CAP:
+                qvol_cache.pop(next(iter(qvol_cache)))
+            qvol_cache[vj] = device_query_volume(db, vols[vj])
+        return qvol_cache[vj], vols[vj][0]
+
     shard_paths = []
     with profile_scope("pw"):
         for vi, (va, vb) in enumerate(vols):
@@ -590,15 +621,19 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                 continue
             vol_db = db.subset(range(va, vb))
             with met.stage("index_build", volume=vi):
-                # one codes upload per volume: the oriented query volume is
-                # uploaded first and the index build + fused vol_codes view
-                # are derived from it ON DEVICE (packed upload measured
-                # 73-1185 s per 24 MB on the erratic tunnel — 3x uploads of
-                # the same bytes were the old cost)
-                qvol_vi = (device_query_volume(vol_db)
-                           if _use_dev_gather(opts) else None)
-                codes_dev_vi = (qvol_vi.vol_cat[:qvol_vi.n_bases]
-                                if qvol_vi is not None else None)
+                # one codes upload for the whole run: the index build + the
+                # fused vol_codes view are SLICES of the resident oriented
+                # volume (packed upload measured 73-1185 s per 24 MB on the
+                # erratic tunnel — 3x uploads of the same bytes were the
+                # old cost)
+                if db_qvol is not None:
+                    base0 = int(db.starts[va])
+                    codes_dev_vi = db_qvol.vol_cat[
+                        base0:base0 + int(vol_db.total_bases)]
+                else:
+                    qvol_vi, _ = _vj_qvol(vi)
+                    codes_dev_vi = (qvol_vi.vol_cat[:qvol_vi.n_bases]
+                                    if qvol_vi is not None else None)
                 idx = build_index(vol_db.codes, vol_db.starts,
                                   vol_db.lengths, k=opts.kmer_size,
                                   freq_cutoff_abs=opts.index_cutoff,
@@ -613,13 +648,10 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                 qa, qb = vols[vj]
                 shard = os.path.join(wrk_dir, f"pw_v{vi}_v{vj}.txt")
                 L_query = bucket_length(int(db.lengths[qa:qb].max()))
-                # device-resident oriented query volume: one packed upload
-                # per volume pair instead of raw fwd+rev bytes per batch
-                # (the diagonal pair reuses the index volume's)
-                qvol = None
-                if _use_dev_gather(opts):
-                    qvol = (qvol_vi if vj == vi
-                            else device_query_volume(db, (qa, qb)))
+                # device-resident oriented query volume: the whole-db
+                # upload (global read ids, qvol_base 0) or a cached
+                # per-volume subset — never a fresh upload per PAIR
+                qvol, qbase = _vj_qvol(vj)
                 with met.stage("volume_pair", vi=vi, vj=vj), \
                         open(shard + ".tmp", "w") as fh:
                     if _use_fused(opts):
@@ -632,7 +664,7 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                             nxt = dispatch_query_batch_fused(
                                 db, va, dev, idx.max_occ_cutoff, qids, opts,
                                 vol_db, L_q_b, L_t_b, batch_rows=b_eff,
-                                qvol=qvol, qvol_base=qa)
+                                qvol=qvol, qvol_base=qbase)
                             if pending is not None:
                                 fh.write(collect_query_batch_fused(
                                     pending, va, vol_db, opts, stats))
@@ -653,7 +685,7 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                             m4s, cands = process_query_batch(
                                 db, va, dev, idx.max_occ_cutoff, qids, opts,
                                 vol_db, stats, L_q_b, L_target,
-                                qvol=qvol, qvol_base=qa)
+                                qvol=qvol, qvol_base=qbase)
                             fh.write(format_block(m4s))
                             fh.write(cands)
                 os.replace(shard + ".tmp", shard)

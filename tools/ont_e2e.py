@@ -75,7 +75,10 @@ def main(argv=None):
     this_cand = os.path.join(out_dir, "candidates.txt")
     if (args.rounds > 1 and os.path.exists(base_cand)
             and not os.path.exists(this_cand)):
-        os.link(base_cand, this_cand)
+        # copy, not os.link: a shared inode would let any future in-place
+        # rewrite of the stage output corrupt the base run's artifact
+        import shutil
+        shutil.copyfile(base_cand, this_cand)
     extra = ([] if args.draft_est_coverage is None else
              ["--draft-est-coverage", str(args.draft_est_coverage)])
     t0 = time.time()
