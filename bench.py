@@ -123,15 +123,21 @@ def run_on(device, db, idx, n_batches, collect_supports=False):
                                                                n_cycle))]
         t0 = time.time()
         outs = []
+        segs = []
         for bi in range(n_batches):
             a = staged[bi % len(staged)]
-            outs.append(overlap_step(
+            o = overlap_step(
                 a[0], a[1], a[2], dev["vol_codes"],
                 dev["offsets"], dev["pos_rid"], dev["pos_loc"],
                 dev["read_starts"], dev["read_lengths"],
-                cutoff, **CFG).valid)
-        overlaps = int(np.asarray(
-            jnp.sum(jnp.stack([jnp.sum(v) for v in outs]))))
+                cutoff, **CFG)
+            outs.append(o.valid)
+            segs.append(o.n_segs)
+        # one stacked pull for both tallies (single tunnel round-trip)
+        tallies = np.asarray(jnp.stack(
+            [jnp.sum(jnp.stack([jnp.sum(v) for v in outs])),
+             jnp.sum(jnp.stack([jnp.sum(s) for s in segs]))]))
+        overlaps, useful_segs = int(tallies[0]), int(tallies[1])
         dt = time.time() - t0
 
         supports = None
@@ -148,7 +154,7 @@ def run_on(device, db, idx, n_batches, collect_supports=False):
                                  {f: np.asarray(getattr(o, f))
                                   for f in ("target", "score", "qseed",
                                             "tseed", "valid")}))
-    return overlaps, dt, compile_s, supports
+    return overlaps, useful_segs, dt, compile_s, supports
 
 
 def run_cns(db, supports):
@@ -215,7 +221,7 @@ def main():
     want_cns = os.environ.get("BENCH_CNS", "1") == "1" or "--cns" in sys.argv
     n_batches = int(os.environ.get("BENCH_BATCHES", 32))
     t0 = time.time()
-    overlaps, dt, compile_s, supports = run_on(
+    overlaps, useful_segs, dt, compile_s, supports = run_on(
         jax.devices()[0], db, idx, n_batches, collect_supports=want_cns)
     rate = overlaps / dt if dt > 0 else 0.0
     # Issued DP-cell rate (speed-of-light accounting, VERDICT r3 weak #4):
@@ -226,8 +232,15 @@ def main():
     cells_issued = (n_batches * B * CFG["num_candidates"] * 2
                     * CFG["max_segs"] * CFG["S"] * CFG["W"])
     cells_per_s = cells_issued / dt if dt > 0 else 0.0
+    # USEFUL cells: sum of per-lane actual DP segments (live lanes only,
+    # both directions) x S x W — the apples-to-apples rate against the
+    # forced-occupancy roofline (issued counts padded/dead lanes and can
+    # read far above it; VERDICT r4 weak #3)
+    cells_useful_per_s = useful_segs * CFG["S"] * CFG["W"] / dt \
+        if dt > 0 else 0.0
     log(f"bench: chip: {overlaps} overlaps in {dt:.2f}s -> {rate:.1f}/s "
-        f"({cells_per_s / 1e9:.1f} Gcells/s issued, compile {compile_s:.1f}s,"
+        f"({cells_per_s / 1e9:.1f} Gcells/s issued, "
+        f"{cells_useful_per_s / 1e9:.1f} useful, compile {compile_s:.1f}s,"
         f" total {time.time() - t0:.1f}s)")
 
     # CPU-socket provisional baseline.  Re-measured with BENCH_CPU=1
@@ -239,8 +252,8 @@ def main():
         try:
             cpus = jax.devices("cpu")
             if cpus and platform != "cpu":
-                c_overlaps, c_dt, _, _ = run_on(cpus[0], db, idx,
-                                                max(1, n_batches // 8))
+                c_overlaps, _, c_dt, _, _ = run_on(
+                    cpus[0], db, idx, max(1, n_batches // 8))
                 cpu_rate = c_overlaps / c_dt if c_dt > 0 else 0.0
                 log(f"bench: cpu-socket baseline: {c_overlaps} in {c_dt:.2f}s "
                     f"-> {cpu_rate:.1f}/s")
@@ -261,6 +274,7 @@ def main():
         "compile_s": round(compile_s, 1),
         "steady_s": round(dt, 2),
         "dp_gcells_per_s_issued": round(cells_per_s / 1e9, 2),
+        "dp_gcells_per_s_useful": round(cells_useful_per_s / 1e9, 2),
         "cache": "warm" if compile_s < 15.0 else "cold",
     }
     if want_cns and supports:

@@ -162,7 +162,8 @@ def sharded_overlap_step(
             qbeg=res.qbeg.reshape(Bh, N), qend=res.qend.reshape(Bh, N),
             tbeg=res.tbeg.reshape(Bh, N), tend=res.tend.reshape(Bh, N),
             identity=res.identity.reshape(Bh, N), valid=ok,
-            qseed=cand.qseed, tseed=cand.tseed)
+            qseed=cand.qseed, tseed=cand.tseed,
+            n_segs=res.n_segs.reshape(Bh, N))
 
     mapped = jax.shard_map(
         step, mesh=mesh,
@@ -171,7 +172,7 @@ def sharded_overlap_step(
                   P("hash"), P("hash"), P("hash"), P("hash"),  # index shards
                   P(), P(), P()),                          # read tables
         out_specs=jax.tree.map(lambda _: P(("data", "hash")),
-                               OverlapStepOut(*(0,) * 10)),
+                               OverlapStepOut(*(0,) * 11)),
         check_vma=False)
     return jax.jit(mapped)
 

