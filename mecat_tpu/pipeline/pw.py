@@ -275,6 +275,100 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
 #: from exhausting HBM while still amortising uploads across vi rounds)
 _QVOL_CACHE_CAP = int(os.environ.get("MECAT_TPU_QVOL_CACHE", "6"))
 
+#: staged -j 0 result pulls are grouped: k batches' merged buffers are
+#: packed into ONE device buffer and pulled with ONE count + ONE prefix
+#: (2 tunnel RTTs per k batches instead of 2k — VERDICT r4 weak #6)
+_PULL_GROUP = int(os.environ.get("MECAT_TPU_PW_PULL_GROUP", "8"))
+
+
+def dispatch_scan_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
+                        query_ids: List[int], opts: PwOptions,
+                        vol_db: PackedDB, stats: PwStats, L_query: int,
+                        qvol, qvol_base: int):
+    """Async half of the staged -j 0 device path: prep + scans + device
+    merge dispatched, NOTHING pulled.  Returns a pending tuple for
+    :func:`flush_scan_group`."""
+    B = opts.scan_batch
+    t_ph = time.time()
+    ids_local = np.asarray(query_ids, np.int32) - qvol_base
+    ids_p, = pad_to_batch([ids_local], B)
+    fwd_p, rev_p, _ = gather_oriented_rows_dev(
+        qvol, ids_p, len(query_ids), L_query)
+    lens = db.lengths[list(query_ids)]
+    lens_p, = pad_to_batch([lens], B)
+    self_ids = np.array(
+        [qid - vol_base if vol_base <= qid < vol_base + vol_db.n_reads else -1
+         for qid in query_ids], dtype=np.int32)
+    self_p, = pad_to_batch([self_ids], B)
+    stats.prep_s += time.time() - t_ph
+
+    t_ph = time.time()
+    cands = []
+    for bases in (fwd_p, rev_p):
+        cands.append(scan_candidates(
+            bases, jnp.asarray(lens_p), dev["offsets"],
+            dev["pos_rid"], dev["pos_loc"],
+            jnp.int32(cutoff), jnp.asarray(self_p),
+            k=opts.kmer_size, stride=opts.scan_stride, max_occ=opts.max_occ,
+            num_candidates=opts.num_candidates, diag_bin=opts.diag_bin))
+    merged, count = merge_strand_candidates_device(
+        cands[0], cands[1], jnp.int32(opts.min_block_score),
+        jnp.int32(len(query_ids)), n_keep=opts.num_candidates)
+    stats.scan_s += time.time() - t_ph
+    return (query_ids, merged, count)
+
+
+def flush_scan_group(group, vol_base: int, db: PackedDB, vol_db: PackedDB,
+                     opts: PwOptions, stats: PwStats) -> str:
+    """Pack k pending batches on device, pull once, emit candidate text.
+
+    Byte-identical to flushing each batch separately: pack_merged_group
+    compacts valid rows in (batch, merged-order) order.
+    """
+    from ..ops.ddf import pack_merged_group
+
+    if not group:
+        return ""
+    B = opts.scan_batch
+    k = _PULL_GROUP
+    t_ph = time.time()
+    # pad the group to the fixed k (one jit key): repeat the first buffer
+    # with count 0 — packed away by the valid mask
+    merged_list = [m for _, m, _ in group]
+    counts_list = [c for _, _, c in group]
+    while len(merged_list) < k:
+        merged_list.append(merged_list[0])
+        counts_list.append(jnp.int32(0))
+    packed, total = pack_merged_group(
+        jnp.stack(merged_list), jnp.stack(counts_list), B=B)
+    n_kept = int(total)
+    if n_kept:
+        K = _bucket_k(n_kept, minimum=1024)
+        K = min(K, packed.shape[0])
+        pairs = np.asarray(slice_merged(packed, K=K))[:n_kept]
+    else:
+        pairs = np.zeros((0, 6), int)
+    stats.pull_s += time.time() - t_ph
+    stats.candidates += len(pairs)
+    if len(pairs) == 0:
+        return ""
+
+    t_ph = time.time()
+    qids_flat = np.zeros(k * B, dtype=np.int64)
+    for slot, (qids, _, _) in enumerate(group):
+        qids_flat[slot * B:slot * B + len(qids)] = qids
+    rows_g = pairs[:, 0].astype(np.int64)
+    qarr = qids_flat[rows_g]
+    tgt = pairs[:, 2].astype(np.int64)
+    text = format_candidate_columns({
+        "qid": qarr + 1, "sid": vol_base + tgt + 1,
+        "score": pairs[:, 3], "qdir": pairs[:, 1],
+        "qext": pairs[:, 4], "qsize": db.lengths[qarr],
+        "sdir": np.zeros(len(pairs), np.int64), "sext": pairs[:, 5],
+        "ssize": vol_db.lengths[tgt]})
+    stats.emit_s += time.time() - t_ph
+    return text
+
 
 def _bucket_k(n: int, minimum: int = 256) -> int:
     """Pow2-and-midpoint bucket for survivor batch sizes (jit shape reuse)."""
@@ -692,17 +786,31 @@ def run_pw(reads_path: str, out_path: str, wrk_dir: str,
                         # shapes pad to each batch's own bucket
                         order = (np.argsort(db.lengths[qa:qb],
                                             kind="stable") + qa)
+                        group = []      # pending device-merged batches
                         for bs in range(0, len(order), opts.scan_batch):
                             qids = [int(q) for q in
                                     order[bs:bs + opts.scan_batch]]
                             L_q_b = bucket_length(
                                 int(db.lengths[qids].max()))
+                            if qvol is not None and opts.task == 0:
+                                group.append(dispatch_scan_batch(
+                                    db, va, dev, idx.max_occ_cutoff, qids,
+                                    opts, vol_db, stats, L_q_b, qvol,
+                                    qbase))
+                                if len(group) >= _PULL_GROUP:
+                                    fh.write(flush_scan_group(
+                                        group, va, db, vol_db, opts,
+                                        stats))
+                                    group = []
+                                continue
                             m4s, cands = process_query_batch(
                                 db, va, dev, idx.max_occ_cutoff, qids, opts,
                                 vol_db, stats, L_q_b, L_target,
                                 qvol=qvol, qvol_base=qbase)
                             fh.write(format_block(m4s))
                             fh.write(cands)
+                        fh.write(flush_scan_group(group, va, db, vol_db,
+                                                  opts, stats))
                 os.replace(shard + ".tmp", shard)
                 log.info("pw: volume %d vs %d done (%d candidates, "
                          "%d overlaps)", vi, vj, stats.candidates,
