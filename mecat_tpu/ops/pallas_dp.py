@@ -44,8 +44,17 @@ _NEG = -(1 << 26)
 _K1 = IND_K + 1
 
 
+#: best-cell tracking strategy: "elem" replaces the 3 per-row sublane
+#: log-reductions with 2 elementwise ops on a packed (score, -row) key per
+#: (band, lane) cell + ONE final reduction after the row loop — same
+#: first-flat-argmax tie-breaks (key = score*1024 - i orders exactly like
+#: pick_end_local; tests/test_pallas_dp.py pins bit-identity).  Measured
+#: with tools/roll_micro.py; default decided by the on-chip A/B.
+_BEST_MODE = os.environ.get("MECAT_TPU_DP_BEST", "elem")
+
+
 def _dp_kernel(q_ref, t_ref, tmax_ref, segq_ref, active_ref, *out_refs,
-               S: int, W: int, with_moves: bool):
+               S: int, W: int, with_moves: bool, best_mode: str):
     # transposed layout: q_ref [S, B], t_ref [S+W, B], tmax/segq/active
     # [1, B], moves_ref [S, W/16, B] (with_moves only), best_ref [8, B].
     # The counts-only extension path (overlap detection) never reads moves:
@@ -115,8 +124,21 @@ def _dp_kernel(q_ref, t_ref, tmax_ref, segq_ref, active_ref, *out_refs,
 
         # best-cell tracking (pick_end_local: score = r + j - 2*penalty*D)
         dist = cur // IND_K
-        score = jnp.where(valid & (cur < VINF) & (i <= segq),
-                          i + j - 2 * C.ALIGN_TRIM_PENALTY * dist, _NEG)
+        ok = valid & (cur < VINF) & (i <= segq)
+        if best_mode == "elem":
+            # per-(band, lane) packed key: score*1024 - i orders by (score
+            # desc, row asc) — same first-flat-argmax as the log path but
+            # only 2 elementwise [W, B] ops per row; the cross-band
+            # reduction happens ONCE after the row loop.  i <= S < 1024 so
+            # the row never aliases into the score field; invalid cells get
+            # a key below any real one (real keys >= -4*2^18*1024 > -2^30).
+            score = i + j - 2 * C.ALIGN_TRIM_PENALTY * dist
+            key = jnp.where(ok, score * 1024 - i, jnp.int32(-(1 << 30)))
+            upd = key > best_s                       # best_s: [W, B] keys
+            best_s = jnp.where(upd, key, best_s)
+            best_d = jnp.where(upd, cur, best_d)     # best_d: [W, B] vals
+            return cur, best_s, best_r, best_w, best_d
+        score = jnp.where(ok, i + j - 2 * C.ALIGN_TRIM_PENALTY * dist, _NEG)
         row_max = jnp.max(score, axis=0, keepdims=True)          # [1, B]
         row_arg = jnp.min(jnp.where(score == row_max, w_idx, W),
                           axis=0, keepdims=True)
@@ -142,6 +164,25 @@ def _dp_kernel(q_ref, t_ref, tmax_ref, segq_ref, active_ref, *out_refs,
     @pl.when(any_active)
     def _run():
         zero = jnp.zeros((1, B), jnp.int32)
+        if best_mode == "elem":
+            # row-0 cells participate too: score = j - 2p*dist, row index 0
+            d0 = row0 // IND_K
+            key0 = jnp.where((j0 >= 0) & (j0 <= tmax),
+                             (j0 - 2 * C.ALIGN_TRIM_PENALTY * d0) * 1024,
+                             jnp.int32(-(1 << 30)))
+            init = (row0, key0, zero, zero, row0)
+            _, key_wb, _, _, val_wb = jax.lax.fori_loop(
+                0, S // 8, group, init)
+            kmax = jnp.max(key_wb, axis=0, keepdims=True)        # [1, B]
+            warg = jnp.min(jnp.where(key_wb == kmax, w_idx, W),
+                           axis=0, keepdims=True)
+            vbest = jnp.min(jnp.where(w_idx == warg, val_wb, VINF),
+                            axis=0, keepdims=True)
+            best_ref[0:1, :] = (-kmax) & 1023       # row (mod-1024 exact)
+            best_ref[1:2, :] = warg
+            best_ref[2:3, :] = vbest
+            best_ref[3:8, :] = jnp.zeros((5, B), jnp.int32)
+            return
         init = (row0, zero, zero, jnp.full((1, B), half, jnp.int32), zero)
         _, best_s, best_r, best_w, best_d = jax.lax.fori_loop(
             0, S // 8, group, init)
@@ -161,12 +202,13 @@ def _dp_kernel(q_ref, t_ref, tmax_ref, segq_ref, active_ref, *out_refs,
 
 
 @partial(jax.jit, static_argnames=("S", "W", "block_b", "interpret",
-                                   "with_moves"))
+                                   "with_moves", "best_mode"))
 def dp_segment_best_pallas(q_seg: jnp.ndarray, tpad: jnp.ndarray,
                            tmax: jnp.ndarray, seg_q: jnp.ndarray,
                            active: jnp.ndarray | None = None,
                            *, S: int, W: int, block_b: int = 256,
-                           interpret: bool = False, with_moves: bool = True):
+                           interpret: bool = False, with_moves: bool = True,
+                           best_mode: str | None = None):
     """Banded DP + local-best endpoint, one fused kernel.
 
     Args:
@@ -200,8 +242,11 @@ def dp_segment_best_pallas(q_seg: jnp.ndarray, tpad: jnp.ndarray,
                                          lambda i: (0, 0, i),
                                          memory_space=pltpu.VMEM))
         out_shape.insert(0, jax.ShapeDtypeStruct((S, Wp, B), jnp.int32))
+    if best_mode is None:
+        best_mode = _BEST_MODE
     out = pl.pallas_call(
-        partial(_dp_kernel, S=S, W=W, with_moves=with_moves),
+        partial(_dp_kernel, S=S, W=W, with_moves=with_moves,
+                best_mode=best_mode),
         grid=grid,
         in_specs=[
             pl.BlockSpec((S, block_b), lambda i: (0, i),

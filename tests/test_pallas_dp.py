@@ -15,7 +15,8 @@ W = 128
 
 @pytest.mark.slow
 @pytest.mark.parametrize("W", [64, 128])
-def test_pallas_matches_xla_interpret(W):
+@pytest.mark.parametrize("best_mode", ["log", "elem"])
+def test_pallas_matches_xla_interpret(W, best_mode):
     rng = np.random.default_rng(121)
     B = 128
     q = np.full((B, S), Q_SENTINEL, np.uint8)
@@ -41,7 +42,8 @@ def test_pallas_matches_xla_interpret(W):
     tpad[:, half:half + t.shape[1]] = t
     moves_p, r_p, w_p, j_p, d_p, i_p = dp_segment_best_pallas(
         jnp.asarray(q), jnp.asarray(tpad), jnp.asarray(tmax),
-        jnp.asarray(seg_q), S=S, W=W, block_b=128, interpret=True)
+        jnp.asarray(seg_q), S=S, W=W, block_b=128, interpret=True,
+        best_mode=best_mode)
 
     np.testing.assert_array_equal(np.asarray(r_p), np.asarray(r_x))
     np.testing.assert_array_equal(np.asarray(w_p), np.asarray(w_x))
