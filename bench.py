@@ -243,24 +243,43 @@ def main():
         f"{cells_useful_per_s / 1e9:.1f} useful, compile {compile_s:.1f}s,"
         f" total {time.time() - t0:.1f}s)")
 
-    # CPU-socket provisional baseline.  Re-measured with BENCH_CPU=1
-    # (~5 min); otherwise uses the recorded measurement of the same step on
-    # this host's CPU backend (2026-08-16, BENCH defaults: 4.2 overlaps/s).
+    # 1-core baseline: the measured scalar single-thread C++ engine
+    # (native/src/scalar_baseline.cpp) on the SAME workload/filters in
+    # fwd-only step-parity mode — a real reference-style denominator
+    # (VERDICT r4 next #1), replacing the old XLA:CPU stand-in (4.2 ovl/s,
+    # kept as a secondary field).  BENCH_SCALAR=1 re-measures inline
+    # (~2 min, one host core); otherwise the recorded quiet-host rate is
+    # used (BENCH_SCALAR_RATE, BASELINE.md round-5 row).
     vs = None
-    cpu_rate = float(os.environ.get("BENCH_CPU_RATE", 4.2))
-    if os.environ.get("BENCH_CPU") == "1":
+    scalar_rate = float(os.environ.get("BENCH_SCALAR_RATE", 0)) or None
+    if os.environ.get("BENCH_SCALAR") == "1" or scalar_rate is None:
         try:
-            cpus = jax.devices("cpu")
-            if cpus and platform != "cpu":
-                c_overlaps, _, c_dt, _, _ = run_on(
-                    cpus[0], db, idx, max(1, n_batches // 8))
-                cpu_rate = c_overlaps / c_dt if c_dt > 0 else 0.0
-                log(f"bench: cpu-socket baseline: {c_overlaps} in {c_dt:.2f}s "
-                    f"-> {cpu_rate:.1f}/s")
+            import time as _t
+
+            from mecat_tpu import constants as Cst
+            from mecat_tpu.native.scalar import ScalarEngine
+
+            eng = ScalarEngine(db.codes, db.starts, db.lengths,
+                               k=CFG["k"])
+            n_q = min(48, db.n_reads)
+            t0s = _t.time()
+            r = eng.overlap_range(
+                0, n_q, task=1, stride=CFG["stride"],
+                max_occ=CFG["max_occ"], cutoff=eng.cutoff(),
+                diag_bin=CFG["diag_bin"], n_cand=CFG["num_candidates"],
+                min_block_score=Cst.MIN_BLOCK_SCORE, S=CFG["S"],
+                W=CFG["W"], penalty=Cst.ALIGN_TRIM_PENALTY,
+                min_seg_identity=Cst.MIN_SEGMENT_IDENTITY,
+                min_identity=CFG["min_identity"],
+                min_align_size=CFG["min_align_size"], strands=1)
+            sdt = _t.time() - t0s
+            scalar_rate = r["passed"] / sdt if sdt > 0 else None
+            log(f"bench: scalar 1-core baseline: {r['passed']} passed in "
+                f"{sdt:.2f}s -> {scalar_rate:.1f}/s")
         except Exception as e:  # pragma: no cover
-            log(f"bench: cpu baseline unavailable: {e}")
-    if cpu_rate > 0:
-        vs = rate / cpu_rate
+            log(f"bench: scalar baseline unavailable: {e}")
+    if scalar_rate:
+        vs = rate / scalar_rate
 
     result = {
         "metric": "pairwise overlap throughput (fused scan+extend, simulated "
@@ -268,6 +287,10 @@ def main():
         "value": round(rate, 2),
         "unit": "overlaps/s/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "baseline_scalar_core_ovl_s": (round(scalar_rate, 1)
+                                       if scalar_rate else None),
+        "baseline_xla_cpu_ovl_s": 4.2,   # superseded stand-in, kept for
+                                         # round-over-round comparability
         # hygiene fields: compile-cache state must not contaminate
         # round-over-round comparisons of the throughput line
         "index_build_s": round(index_build_s, 1),
