@@ -214,3 +214,19 @@ def test_device_gather_multivolume_byte_identical(sim_setup, monkeypatch):
                PwOptions(task=1, volume_bases=20000, **OPTS))
         outs.append(open(out, "rb").read())
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_grouped_pulls_many_batches_byte_identical(sim_setup, monkeypatch):
+    """Staged -j 0 grouped result pulls (pw.flush_scan_group) across MORE
+    batches than the group size: a full group of 8 plus a partial tail
+    group must still be byte-identical to the host per-batch path."""
+    tmp, reads, db, truths = sim_setup
+    outs = []
+    small = dict(OPTS, scan_batch=2)       # 24 reads -> 12 pending batches
+    for dev_gather in ("0", "1"):
+        monkeypatch.setenv("MECAT_TPU_PW_DEV_GATHER", dev_gather)
+        out = str(tmp / f"grp{dev_gather}.txt")
+        run_pw(reads, out, str(tmp / f"wgrp{dev_gather}"),
+               PwOptions(task=0, **small))
+        outs.append(open(out, "rb").read())
+    assert outs[0] == outs[1] and len(outs[0]) > 0
