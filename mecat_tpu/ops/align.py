@@ -84,9 +84,16 @@ def banded_dp_segment(q_seg: jnp.ndarray, t_seg: jnp.ndarray,
     w_idx = jnp.arange(W, dtype=jnp.int32)
 
     # tpad[x] = t_seg[x - half]: left sentinel padding so the diagonal gather
-    # for row i is the static-length slice tpad[:, i-1 : i-1+W].
-    tpad = jnp.full((B, S + W), T_SENTINEL, dtype=q_seg.dtype)
-    tpad = tpad.at[:, half:half + t_seg.shape[1]].set(t_seg)
+    # for row i is the static-length slice tpad[:, i-1 : i-1+W].  A caller
+    # that already gathered a sentinel-FRAMED wide window (width exactly
+    # S + W, see _extend_direction_impl) skips this re-materialisation —
+    # the per-segment copy was measurable wrapper overhead
+    # (tools/roll_micro.py: raw kernel ~2x the wrapped cell rate).
+    if t_seg.shape[1] == S + W:
+        tpad = t_seg
+    else:
+        tpad = jnp.full((B, S + W), T_SENTINEL, dtype=q_seg.dtype)
+        tpad = tpad.at[:, half:half + t_seg.shape[1]].set(t_seg)
 
     j0 = w_idx - half  # target position of band cell w at row 0
     row0 = jnp.where((j0[None, :] >= 0) & (j0[None, :] <= tmax[:, None]),
@@ -412,8 +419,11 @@ def dp_segment_best(q_seg: jnp.ndarray, t_seg: jnp.ndarray,
     B = q_seg.shape[0]
     if pallas_available(S, W, B):
         half = W // 2
-        tpad = jnp.full((B, S + W), T_SENTINEL, dtype=q_seg.dtype)
-        tpad = tpad.at[:, half:half + t_seg.shape[1]].set(t_seg)
+        if t_seg.shape[1] == S + W:          # pre-framed wide window
+            tpad = t_seg
+        else:
+            tpad = jnp.full((B, S + W), T_SENTINEL, dtype=q_seg.dtype)
+            tpad = tpad.at[:, half:half + t_seg.shape[1]].set(t_seg)
         block_b = 128   # fastest measured tile; larger blocks LOSE (v5e)
         return dp_segment_best_pallas(q_seg, tpad, tmax, seg_q, active,
                                       S=S, W=W, block_b=block_b,
@@ -439,7 +449,10 @@ def _extend_direction_impl(q_pad, t_pad, q0, t0, qlen, tlen, *, S, W,
     """Segmented banded extension in one direction (SURVEY.md §3.5 loop).
 
     q_pad/t_pad are sentinel-padded so every dynamic slice below stays in
-    bounds: q_pad [B, >= max(q0)+qlen+S], t_pad [B, >= max(t0)+tlen+S+W].
+    bounds: q_pad [B, >= max(q0)+qlen+S]; t_pad carries a W//2 sentinel
+    PREFIX (offsets t0 are relative to it) and a tail so that
+    [B, >= W//2 + max(t0)+tlen+S+W] — the per-segment window gather then
+    directly produces the kernel's framed [B, S+W] layout.
     q0/t0: starting offsets of the extension; qlen/tlen: bases available in
     this direction.  A segment whose identity falls below min_seg_identity is
     rolled back and the extension stops (TODO(ref): exact reference stop rule
@@ -460,8 +473,11 @@ def _extend_direction_impl(q_pad, t_pad, q0, t0, qlen, tlen, *, S, W,
         q_seg = jax.vmap(
             lambda row, o: jax.lax.dynamic_slice(row, (o,), (S,))
         )(q_pad, (q0 + qoff).astype(jnp.int32))
+        # t_pad carries a W//2 sentinel PREFIX (see the _pair_batch pads):
+        # one gather yields the kernel's framed [B, S+W] window — no
+        # per-segment tpad re-materialisation in dp_segment_best.
         t_seg = jax.vmap(
-            lambda row, o: jax.lax.dynamic_slice(row, (o,), (S + half,))
+            lambda row, o: jax.lax.dynamic_slice(row, (o,), (S + W,))
         )(t_pad, (t0 + toff).astype(jnp.int32))
 
         moves, r_end, w_end, j_end, d_seg, ind_seg = dp_segment_best(
@@ -561,9 +577,10 @@ def _pair_batch_impl(q, t, qlen, tlen, qseed, tseed, *, S, W, max_segs,
     Lt = t.shape[1]
     max_segs_left = max_segs_left or max_segs
 
-    def pad(a, extra, sentinel):
-        out = jnp.full((B, a.shape[1] + extra), sentinel, dtype=a.dtype)
-        return out.at[:, :a.shape[1]].set(a)
+    def pad(a, extra, sentinel, prefix=0):
+        out = jnp.full((B, prefix + a.shape[1] + extra), sentinel,
+                       dtype=a.dtype)
+        return out.at[:, prefix:prefix + a.shape[1]].set(a)
 
     # mask out the padded tails so flipped rows can't leak real-looking bases
     col = jnp.arange(Lq, dtype=jnp.int32)
@@ -572,9 +589,9 @@ def _pair_batch_impl(q, t, qlen, tlen, qseed, tseed, *, S, W, max_segs,
     tm = jnp.where(colt[None, :] < tlen[:, None], t, T_SENTINEL).astype(t.dtype)
 
     q_fwd = pad(qm, S, Q_SENTINEL)
-    t_fwd = pad(tm, S + W, T_SENTINEL)
+    t_fwd = pad(tm, S + W, T_SENTINEL, prefix=W // 2)
     q_rev = pad(jnp.flip(qm, axis=1), S, Q_SENTINEL)
-    t_rev = pad(jnp.flip(tm, axis=1), S + W, T_SENTINEL)
+    t_rev = pad(jnp.flip(tm, axis=1), S + W, T_SENTINEL, prefix=W // 2)
 
     if not collect_ops:
         # counts path: BOTH directions as one 2B-lane batch — the early-exit
@@ -669,18 +686,19 @@ def _pair_batch_rows_impl(q, t, qlen, tlen, qseed, tseed, *, S, W, max_segs,
     Lt = t.shape[1]
     max_segs_left = max_segs_left or max_segs
 
-    def pad(a, extra, sentinel):
-        out = jnp.full((B, a.shape[1] + extra), sentinel, dtype=a.dtype)
-        return out.at[:, :a.shape[1]].set(a)
+    def pad(a, extra, sentinel, prefix=0):
+        out = jnp.full((B, prefix + a.shape[1] + extra), sentinel,
+                       dtype=a.dtype)
+        return out.at[:, prefix:prefix + a.shape[1]].set(a)
 
     col = jnp.arange(Lq, dtype=jnp.int32)
     qm = jnp.where(col[None, :] < qlen[:, None], q, Q_SENTINEL).astype(q.dtype)
     colt = jnp.arange(Lt, dtype=jnp.int32)
     tm = jnp.where(colt[None, :] < tlen[:, None], t, T_SENTINEL).astype(t.dtype)
     q_fwd = pad(qm, S, Q_SENTINEL)
-    t_fwd = pad(tm, S + W, T_SENTINEL)
+    t_fwd = pad(tm, S + W, T_SENTINEL, prefix=W // 2)
     q_rev = pad(jnp.flip(qm, axis=1), S, Q_SENTINEL)
-    t_rev = pad(jnp.flip(tm, axis=1), S + W, T_SENTINEL)
+    t_rev = pad(jnp.flip(tm, axis=1), S + W, T_SENTINEL, prefix=W // 2)
 
     right, right_raw = _extend_direction_impl(
         q_fwd, t_fwd, qseed, tseed, qlen - qseed, tlen - tseed,
