@@ -161,13 +161,26 @@ def _stack_cands(c0, c1, *, n_extend: int):
 def _ref_extend_chunk(fwd, rev, ref_codes, rowi, strand, g0, wlen, qlen,
                       qs, ts, *, L_win, L_q, S, W, max_segs):
     """Phase-B device chunk (winners only): extend with ops, compact CIGAR
-    stream.  Scalar fields come back stacked (one pull)."""
+    stream.  Scalar fields + per-row op counts come back stacked (one
+    pull); the host then pulls only a [rows, max_ops]-bucketed crop of the
+    ops matrix instead of the full [P, CW] (~21 MB of which ~3 MB was
+    real — the dominant term of the r4 16.7 reads/s plateau)."""
     q, t = _ref_gather_qt(fwd, rev, ref_codes, rowi, strand, g0, wlen, L_win)
     pa, right_t, left_t = extend_pair_batch_with_ops(
         q, t, qlen, wlen, qs, ts, S=S, W=W, max_segs=max_segs)
     CW = -(-(L_q + L_win + 2) // 128) * 128
     ops8 = ops_stream(right_t, left_t, qs, ts, CW=CW)
-    return _stack_pa(pa), ops8
+    n_ops = jnp.sum((ops8 >= 0).astype(jnp.int32), axis=1)
+    stk = jnp.concatenate([_stack_pa(pa),
+                           n_ops.astype(jnp.float32)[None, :]])
+    return stk, ops8
+
+
+@_partial(_jax.jit, static_argnames=("R", "K"))
+def _crop_ops(ops8, *, R: int, K: int):
+    """Bucketed [R, K] crop of the ops matrix (rows/cols padded on
+    device; one small pull instead of the whole [P, CW] buffer)."""
+    return _jax.lax.dynamic_slice(ops8, (0, 0), (R, K))
 
 
 def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
@@ -348,8 +361,13 @@ def map_batch(db: PackedDB, read_ids: List[int], ref_db: PackedDB, idx, dev,
     for sel, stk, ops_dev in pend_b:
         s = np.asarray(stk)
         if ops_dev is not None:
-            ops_np = np.asarray(ops_dev)
-            n_ops = (ops_np >= 0).sum(axis=1)
+            n_ops = s[7].astype(np.int64)
+            R = min(ops_dev.shape[0],
+                    max(128, -(-len(sel) // 128) * 128))
+            K = min(ops_dev.shape[1],
+                    max(256, int(-(-(n_ops[:len(sel)].max(initial=0))
+                                  // 256) * 256)))
+            ops_np = np.asarray(_crop_ops(ops_dev, R=R, K=K))
         else:
             ops_np = None
         ident = s[0]
