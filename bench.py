@@ -251,7 +251,10 @@ def main():
     # (~2 min, one host core); otherwise the recorded quiet-host rate is
     # used (BENCH_SCALAR_RATE, BASELINE.md round-5 row).
     vs = None
-    scalar_rate = float(os.environ.get("BENCH_SCALAR_RATE", 0)) or None
+    # recorded quiet-host measurement 2026-08-20 (evidence/round5/
+    # scalar_bench_fwd.json); an inline re-measure on a busy host would
+    # UNDERSTATE the denominator and flatter the ratio
+    scalar_rate = float(os.environ.get("BENCH_SCALAR_RATE", 741.0)) or None
     if os.environ.get("BENCH_SCALAR") == "1" or scalar_rate is None:
         try:
             import time as _t
