@@ -94,7 +94,11 @@ MAX_INS_DELTA = 15
 # ---------------------------------------------------------------------------
 #: maximum bases per volume when splitting a read database.
 #: TODO(ref): reference volume size believed ~2GB packed / 4G bases.
-DEFAULT_VOLUME_BASES = 1 << 28  # 256 Mbases
+#: 128 Mb here: the device index-build counting sort peaks at ~40 bytes
+#: per volume base on 16 GB HBM v5e (a 237 Mb volume OOMed at compile,
+#: round 5 cov-20 run); volume pairing is byte-exact (evidence/round5/
+#: multivol.json) so splitting is free correctness-wise.
+DEFAULT_VOLUME_BASES = 1 << 27  # 128 Mbases
 #: mecat2cns -p: templates per consensus partition/batch.
 DEFAULT_PARTITION_BATCH = 100_000
 
