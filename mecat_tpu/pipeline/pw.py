@@ -275,6 +275,10 @@ def process_query_batch(db: PackedDB, vol_base: int, dev, cutoff: int,
 #: from exhausting HBM while still amortising uploads across vi rounds)
 _QVOL_CACHE_CAP = int(os.environ.get("MECAT_TPU_QVOL_CACHE", "6"))
 
+#: fused-path survivor extensions split into score halves above this many
+#: lanes (short-lived half's segment loop exits early; results unchanged)
+_SPLIT_MIN = int(os.environ.get("MECAT_TPU_PW_SPLIT_MIN", "768"))
+
 #: staged -j 0 result pulls are grouped: k batches' merged buffers are
 #: packed into ONE device buffer and pulled with ONE count + ONE prefix
 #: (2 tunnel RTTs per k batches instead of 2k — VERDICT r4 weak #6)
@@ -594,42 +598,58 @@ def collect_query_batch_fused(pending, vol_base: int, vol_db: PackedDB,
             (score_np[:n * N] >= opts.min_block_score).sum())
         stats.cells_useful += 2 * S * W * n_valid_cand
         sel_np = sel_np[np.argsort(-score_np[sel_np], kind="stable")]
-        K = _bucket_k(len(sel_np))
-        sel_pad = np.zeros(K, np.int32)
-        sel_pad[:len(sel_np)] = sel_np
-        valid_pad = np.zeros(K, bool)
-        valid_pad[:len(sel_np)] = True
-        res, win0 = extend_selected(
-            bases_dev, lens_dev, dev["vol_codes"],
-            dev["read_starts"], dev["read_lengths"],
-            cand.target.reshape(-1).astype(jnp.int32),
-            cand.qseed.reshape(-1), cand.tseed.reshape(-1),
-            jnp.asarray(sel_pad), jnp.asarray(valid_pad),
-            K=K, N=N, L_target=L_target,
-            S=S, W=W, max_segs=msegs)
-        phase2[strand] = (cand, sel_np, res, win0)
-        stats.candidates += len(sel_np)
-        stats.extended += len(sel_np)
-        stats.cells += 2 * msegs * S * W * K
-        stats.cells_useful += S * W * int(
-            np.asarray(res.n_segs)[:len(sel_np)].sum())
+        # score-sorted SPLIT: DDF score tracks overlap length, i.e. how
+        # many segment sweeps a lane survives.  One extension call runs
+        # its while_loop (and the per-iteration window gathers — the
+        # wrapper cost the roll microbench exposed) to the DEEPEST lane;
+        # partitioning high/low halves lets the short-lived half's loop
+        # exit after a few sweeps.  Per-lane results are unchanged
+        # (partitioning only reschedules), and finalize_m4_text's global
+        # sort makes the output independent of the grouping.
+        parts = ([sel_np] if len(sel_np) <= _SPLIT_MIN else
+                 [sel_np[:len(sel_np) // 2], sel_np[len(sel_np) // 2:]])
+        part_out = []
+        for part in parts:
+            K = _bucket_k(len(part))
+            sel_pad = np.zeros(K, np.int32)
+            sel_pad[:len(part)] = part
+            valid_pad = np.zeros(K, bool)
+            valid_pad[:len(part)] = True
+            res, win0 = extend_selected(
+                bases_dev, lens_dev, dev["vol_codes"],
+                dev["read_starts"], dev["read_lengths"],
+                cand.target.reshape(-1).astype(jnp.int32),
+                cand.qseed.reshape(-1), cand.tseed.reshape(-1),
+                jnp.asarray(sel_pad), jnp.asarray(valid_pad),
+                K=K, N=N, L_target=L_target,
+                S=S, W=W, max_segs=msegs)
+            part_out.append((part, res, win0))
+            stats.cells += 2 * msegs * S * W * K
+        phase2[strand] = (cand, part_out)
+        m_tot = len(sel_np)
+        stats.candidates += m_tot
+        stats.extended += m_tot
+        for part, res, _ in part_out:
+            stats.cells_useful += S * W * int(
+                np.asarray(res.n_segs)[:len(part)].sum())
 
-    for strand, (cand, sel_np, res, win0) in phase2.items():
-        m = len(sel_np)
-        w0 = np.asarray(win0)[:m]
-        r = sel_np // N
-        append_m4_columns(
-            cols, opts, strand=strand, vol_base=vol_base,
-            qids=qids[r], qsize=lens[r],
-            tgt=np.asarray(cand.target).reshape(-1)[sel_np],
-            tlens=vol_db.lengths,
-            ident=np.asarray(res.identity)[:m],
-            score=np.asarray(cand.score).reshape(-1)[sel_np],
-            qbeg=np.asarray(res.qbeg)[:m], qend=np.asarray(res.qend)[:m],
-            tbeg=np.asarray(res.tbeg)[:m] + w0,
-            tend=np.asarray(res.tend)[:m] + w0,
-            qseed=np.asarray(cand.qseed).reshape(-1)[sel_np],
-            tseed=np.asarray(cand.tseed).reshape(-1)[sel_np])
+    for strand, (cand, part_out) in phase2.items():
+        for sel_np, res, win0 in part_out:
+            m = len(sel_np)
+            w0 = np.asarray(win0)[:m]
+            r = sel_np // N
+            append_m4_columns(
+                cols, opts, strand=strand, vol_base=vol_base,
+                qids=qids[r], qsize=lens[r],
+                tgt=np.asarray(cand.target).reshape(-1)[sel_np],
+                tlens=vol_db.lengths,
+                ident=np.asarray(res.identity)[:m],
+                score=np.asarray(cand.score).reshape(-1)[sel_np],
+                qbeg=np.asarray(res.qbeg)[:m], qend=np.asarray(res.qend)[:m],
+                tbeg=np.asarray(res.tbeg)[:m] + w0,
+                tend=np.asarray(res.tend)[:m] + w0,
+                qseed=np.asarray(cand.qseed).reshape(-1)[sel_np],
+                tseed=np.asarray(cand.tseed).reshape(-1)[sel_np])
     return finalize_m4_text(cols, opts, stats)
 
 
