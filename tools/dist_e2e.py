@@ -168,6 +168,9 @@ def main(argv=None):
         summary["pw_records"] = len(m)
         summary["pw_equal"] = s == m
         print(f"dist_e2e: pw {len(m)} records, equal={s == m}", flush=True)
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as fh:
+            json.dump(summary, fh, indent=1)     # incremental evidence
         assert s == m and len(m) > 1000, (len(s), len(m))
 
     if args.stage in ("cns", "all"):
