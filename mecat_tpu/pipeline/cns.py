@@ -846,12 +846,30 @@ def _dispatch_slice_device(db: PackedDB, templates: List[int],
                                vote=opts.vote_params())
     # squeeze the device-side transfer now but pull NOTHING yet: the int
     # count of non-empty insertion slots is the collector's first (tiny)
-    # sync point
-    n_ins = jnp.max(jnp.sum((emit[:, :, 1:] >= 0).astype(jnp.int32), axis=2))
+    # sync point.  MUST be jitted: the eager form materialised a [T, L, 15]
+    # slice + bool + int32 copy chain (~4-5x a table slice) and OOMed HBM
+    # at the fragmented tail of 970-slice cov-20 runs (round 5).
+    n_ins = _count_ins_slots(emit)
     if timers:
         np.asarray(n_ins)
         log.info("cns-timer: vote=%.2fs", time.time() - t_start)
     return templates, emit, cov_ok, has, n_ins
+
+
+def _count_ins_slots(emit):
+    """max over templates/positions of non-empty insertion slots (jitted
+    so the [T, L, 15] comparison fuses into one reduction — no transient
+    copies; see _dispatch_slice_device)."""
+    import jax
+
+    global _COUNT_INS_JIT
+    if _COUNT_INS_JIT is None:
+        _COUNT_INS_JIT = jax.jit(lambda e: jnp.max(
+            jnp.sum((e[:, :, 1:] >= 0).astype(jnp.int32), axis=2)))
+    return _COUNT_INS_JIT(emit)
+
+
+_COUNT_INS_JIT = None
 
 
 def _collect_slice_device(db: PackedDB, pending, opts: CnsOptions,
